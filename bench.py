@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Extras include the BASELINE.json target metrics: pixel-to-coordinate
+extraction rows/sec and spatial-join+tile images/sec on the synthetic
+image+caption table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "affine_extract",
+    "stride_sample",
+    "tile_assign",
+    "zonal_stats_box",
+    "zonal_stats_pentagon",
+    "knn",
+    "catalog_rollup",
+    "dedup_exact",
+    "ngram_jaccard",
+    "ann_brute_topk",
+    "events_hourly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "768"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from tiff_to_geojson_csv_json_format_converter_spark.operators import extract, zonal
+    from tiff_to_geojson_csv_json_format_converter_spark.plans import entry_queries
+    from tiff_to_geojson_csv_json_format_converter_spark.plans.session import get_spark
+    from tiff_to_geojson_csv_json_format_converter_spark.sources import synth
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_queries.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    # BASELINE.json target metrics on the synthetic image+caption table
+    images = synth.images_df(spark, n_images=n_images, num_partitions=cpus * 2)
+    images = images.cache()
+    n_imgs = images.count()  # materialize generation outside the timed window
+    total_px = images.selectExpr("sum(w * h * band_count)").collect()[0][0]
+
+    t0 = time.perf_counter()
+    pts = extract.extract_points(images, valid_only=True)
+    n_pts = pts.count()
+    t_extract = time.perf_counter() - t0
+    timings["raster_extract"] = round(t_extract, 3)
+    total += t_extract
+
+    t0 = time.perf_counter()
+    pts2 = extract.extract_points(images, valid_only=True)
+    zonal.zonal_stats(pts2, [synth.GOLDEN_DELHI_RING], "poly_0000").count()
+    t_zonal = time.perf_counter() - t0
+    timings["raster_zonal_join"] = round(t_zonal, 3)
+    total += t_zonal
+
+    images.unpersist()
+    out = {
+        "metric": "headline query suite wall-clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "bench_images": n_imgs,
+        "bench_pixels": int(total_px),
+        "extract_rows_per_sec": int(n_pts / t_extract),
+        "extract_pixels_per_sec": int(total_px / t_extract),
+        "spatial_join_images_per_sec": round(n_imgs / t_zonal, 2),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Engine extraction vs the numpy reference oracle, row-for-row
+(SURVEY.md §5 item 1: oracle equality on the synthetic image table)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests import oracle
+from tiff_to_geojson_csv_json_format_converter_spark.operators import extract
+from tiff_to_geojson_csv_json_format_converter_spark.sources import synth
+
+KEY = ["image_id", "band", "pixel_idx"]
+
+
+@pytest.fixture(scope="module")
+def images_pdf():
+    n, sizes = synth.SCALES["xs"]
+    return synth.generate_pandas(np.arange(n), n, sizes)
+
+
+@pytest.fixture(scope="module")
+def images_sdf(spark):
+    return synth.images_df(spark, "xs").cache()
+
+
+def _compare(got: pd.DataFrame, want: pd.DataFrame):
+    got = got.sort_values(KEY).reset_index(drop=True)
+    want = want.sort_values(KEY).reset_index(drop=True)
+    assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
+    for k in KEY:
+        assert got[k].tolist() == want[k].tolist(), f"mismatch in {k}"
+    for c in ["longitude", "latitude", "elevation"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+
+
+def test_spark_generator_matches_local(spark, images_pdf, images_sdf):
+    got = images_sdf.toPandas().sort_values("image_id").reset_index(drop=True)
+    want = images_pdf.sort_values("image_id").reset_index(drop=True)
+    assert got["image_id"].tolist() == want["image_id"].tolist()
+    assert got["caption"].tolist() == want["caption"].tolist()  # caption equality invariant
+    assert got["phash"].tolist() == want["phash"].tolist()
+    assert all(a == b for a, b in zip(got["bytes"], want["bytes"]))
+
+
+def test_valid_points_pipeline(spark, images_pdf, images_sdf):
+    """willOnlyStoreValidPoints.py semantics: filter z > -1e30, round 6/6/2."""
+    got = extract.extract_points(images_sdf, valid_only=True).toPandas()
+    want = oracle.extract_points(images_pdf, valid_only=True)
+    _compare(got, want)
+
+
+def test_full_pipeline_force_extract(spark, images_pdf, images_sdf):
+    """completePixleOutput.py semantics: ALL pixels, no filter."""
+    got = extract.extract_points(images_sdf, valid_only=False).toPandas()
+    want = oracle.extract_points(images_pdf, valid_only=False)
+    _compare(got, want)
+    # every pixel of every band accounted for
+    n, sizes = synth.SCALES["xs"]
+    total = sum(
+        img["w"] * img["h"] * img["band_count"] for img in images_pdf.to_dict("records")
+    )
+    assert len(got) == total
+
+
+def test_sampled_pipeline(spark, images_pdf, images_sdf):
+    """doesSamples.py semantics: stride caps (shrunk to bite at xs scale)."""
+    got = extract.extract_points(
+        images_sdf, valid_only=False, sample_cap=100, geojson_cap=40
+    ).toPandas()
+    want = oracle.extract_points(images_pdf, valid_only=False, sample_cap=100, geojson_cap=40)
+    _compare(got, want)
+
+
+def test_sampled_valid_pipeline(spark, images_pdf, images_sdf):
+    got = extract.extract_points(images_sdf, valid_only=True, sample_cap=150).toPandas()
+    want = oracle.extract_points(images_pdf, valid_only=True, sample_cap=150)
+    _compare(got, want)
+
+
+def test_unrounded(spark, images_pdf, images_sdf):
+    got = extract.extract_points(images_sdf, valid_only=True, round_output=False).toPandas()
+    want = oracle.extract_points(images_pdf, valid_only=True, round_output=False)
+    _compare(got, want)
+
+
+def test_all_nodata_images_emit_nothing(spark, images_pdf, images_sdf):
+    """The early-exit path (willOnlyStoreValidPoints.py:74-95): all-NoData
+    images produce zero rows under valid_only."""
+    empty_ids = {
+        img["image_id"] for img in images_pdf.to_dict("records")
+        if synth.image_params(int(img["image_id"][4:]), 32, [16])["valid_mode"] == "empty"
+    }
+    assert empty_ids
+    got = extract.extract_points(images_sdf, valid_only=True).toPandas()
+    assert empty_ids.isdisjoint(set(got["image_id"]))
+
+
+def test_analyze_bounds_match_oracle(spark, images_pdf, images_sdf):
+    pts = extract.extract_points(images_sdf, valid_only=True)
+    got = extract.analyze_images(pts).toPandas().set_index("image_id").sort_index()
+    want_pts = oracle.extract_points(images_pdf, valid_only=True)
+    want = want_pts.groupby("image_id").agg(
+        valid_pixels=("pixel_idx", "size"),
+        min_longitude=("longitude", "min"), max_longitude=("longitude", "max"),
+        min_latitude=("latitude", "min"), max_latitude=("latitude", "max"),
+        min_elevation=("elevation", "min"), max_elevation=("elevation", "max"),
+    ).sort_index()
+    assert got["valid_pixels"].tolist() == want["valid_pixels"].tolist()
+    for c in want.columns[1:]:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)

@@ -1,0 +1,120 @@
+"""Vectorized planar geometry: bbox algebra, point-in-polygon, buffers.
+
+Replaces the reference's shapely usage (``shape``, ``.bounds``,
+``.intersects``, ``.intersection``, ``.buffer`` — test2.py:107,275-280)
+with numpy. The PIP test is even-odd ray casting with the same
+center-containment semantics as ``rasterio.mask.mask(..., all_touched
+=False)`` (test2.py:1272): a pixel belongs to the zone iff its CENTER
+is inside the polygon.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+
+Ring = Sequence[tuple[float, float]]  # closed or open; normalized below
+
+
+def close_ring(ring: Ring) -> np.ndarray:
+    r = np.asarray(ring, dtype=np.float64)
+    if r.ndim != 2 or r.shape[1] != 2 or r.shape[0] < 3:
+        raise ValueError("ring must be (N>=3, 2)")
+    if not np.array_equal(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    return r
+
+
+def ring_bbox(ring: Ring) -> tuple[float, float, float, float]:
+    r = close_ring(ring)
+    return float(r[:, 0].min()), float(r[:, 1].min()), float(r[:, 0].max()), float(r[:, 1].max())
+
+
+def bbox_intersects(a: tuple[float, float, float, float], b: tuple[float, float, float, float]) -> bool:
+    """Rectangle-overlap test — the catalog/file prefilter the reference
+    runs before any expensive mask (test2.py:94-110; the emitted JS
+    ``findFilesInBounds`` at doesSamples.py:488-494)."""
+    return not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
+
+
+def points_in_ring(x: np.ndarray, y: np.ndarray, ring: Ring) -> np.ndarray:
+    """Even-odd ray-casting PIP, vectorized over points.
+
+    Points exactly on a horizontal edge follow the half-open rule
+    (yi > y) != (yj > y), the standard crossing-number convention.
+    """
+    r = close_ring(ring)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    xi, yi = r[:-1, 0], r[:-1, 1]
+    xj, yj = r[1:, 0], r[1:, 1]
+    inside = np.zeros(x.shape, dtype=bool)
+    for k in range(len(xi)):
+        cond = (yi[k] > y) != (yj[k] > y)
+        if yi[k] == yj[k]:
+            continue
+        x_cross = (xj[k] - xi[k]) * (y - yi[k]) / (yj[k] - yi[k]) + xi[k]
+        inside ^= cond & (x < x_cross)
+    return inside
+
+
+def points_in_polygon(x: np.ndarray, y: np.ndarray, rings: Sequence[Ring]) -> np.ndarray:
+    """Polygon with optional holes: ring[0] = shell, ring[1:] = holes
+    (even-odd over all rings)."""
+    inside = points_in_ring(x, y, rings[0])
+    for hole in rings[1:]:
+        inside ^= points_in_ring(x, y, hole)
+    return inside
+
+
+def buffer_ring(ring: Ring, dist: float) -> np.ndarray:
+    """Cheap outward buffer: scale each vertex away from the centroid and
+    expand the bbox — the engine analog of the reference's
+    ``polygon.buffer(0.001)`` tolerance hack (test2.py:275-277). Exact
+    Minkowski buffering is deliberately not implemented; the reference
+    only uses the buffer to absorb boundary-precision noise."""
+    r = close_ring(ring)[:-1]
+    c = r.mean(axis=0)
+    v = r - c
+    norm = np.linalg.norm(v, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    out = r + v / norm * dist
+    return close_ring(out)
+
+
+def normalize_geometry(obj: Any) -> list[list[list[float]]]:
+    """Normalize the reference's accepted geometry shapes (test2.py:256-272,
+    get_raster_stats_direct.py:39-52) into a list of polygons, each a list
+    of rings [[x, y], ...]:
+
+    - GeoJSON Polygon / MultiPolygon geometry
+    - GeoJSON Feature (takes .geometry)
+    - GeoJSON FeatureCollection (FIRST feature only — reference quirk)
+    - "Canvas format": a list ``[geometry_dict, bounds]``
+    """
+    if isinstance(obj, list):  # canvas format [geometry, bounds]
+        if obj and isinstance(obj[0], dict):
+            return normalize_geometry(obj[0])
+        raise ValueError("unrecognized canvas geometry list")
+    if not isinstance(obj, dict):
+        raise ValueError(f"unrecognized geometry {type(obj)}")
+    t = obj.get("type")
+    if t == "FeatureCollection":
+        feats = obj.get("features") or []
+        if not feats:
+            raise ValueError("empty FeatureCollection")
+        return normalize_geometry(feats[0])  # first feature only (test2.py:258-262)
+    if t == "Feature":
+        return normalize_geometry(obj["geometry"])
+    if t == "Polygon":
+        return [[[float(p[0]), float(p[1])] for p in ring] for ring in obj["coordinates"]]
+    if t == "MultiPolygon":
+        # even-odd PIP over the flattened ring list preserves multipolygon
+        # semantics for disjoint parts (the only kind the reference unions,
+        # slope.js:404-427)
+        out: list[list[list[float]]] = []
+        for poly in obj["coordinates"]:
+            out.extend([[float(p[0]), float(p[1])] for p in ring] for ring in poly)
+        return out
+    raise ValueError(f"unsupported geometry type {t!r}")

@@ -1,0 +1,142 @@
+"""Spatial joins: bbox prefilter, point-in-polygon, cell-ring kNN.
+
+Spark-first strategy per SURVEY.md §2.D:
+
+- D1/D2 bbox join: the polygon side is tiny (a query layer) ->
+  ``broadcast()`` + plain min/max range predicates. At 100 TB the
+  image-side bbox columns double as Iceberg/parquet min-max skipping
+  keys, so the same predicates prune files before any scan.
+- D3 polygon clip: two-stage — (1) cheap bbox predicate (pushed to the
+  scan), (2) exact ray-casting PIP in an Arrow-batched pandas UDF.
+  Optionally a cell-cover equi-join replaces (1) when polygons are
+  many (cover cells pre-computed driver-side per polygon).
+- D6 kNN: index points by cell, probe expanding Chebyshev rings; the
+  candidate set is joined cell-to-cell (shuffle equi-join, never a
+  cross join), then ``row_number`` over (query, dist2) takes top-k.
+  The ring guarantee: stop expanding once the k-th best candidate is
+  closer than the nearest possible point of the next unexplored ring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from ..functions import cells, geometry
+
+
+def pip_contains_udf(rings: list):
+    """Vectorized point-in-polygon predicate UDF for a FIXED polygon
+    (broadcast by closure — the reference's single-request clip shape,
+    test2.py:258-272)."""
+    rings_arr = [np.asarray(r, dtype=np.float64) for r in rings]
+
+    @F.pandas_udf(BooleanType())
+    def contains(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        inside = geometry.points_in_polygon(lon.to_numpy(), lat.to_numpy(), rings_arr)
+        return pd.Series(inside)
+
+    return contains
+
+
+def clip_points(points: DataFrame, rings: list, lon_col: str = "longitude", lat_col: str = "latitude") -> DataFrame:
+    """Exact polygon clip of a point table: bbox predicate (Catalyst,
+    pushed to the scan) then exact PIP refinement (Arrow UDF) — the
+    engine form of ``rasterio.mask.mask(..., crop=True)`` center
+    containment (test2.py:1272)."""
+    shell = np.asarray(rings[0], dtype=np.float64)
+    min_lon, min_lat = float(shell[:, 0].min()), float(shell[:, 1].min())
+    max_lon, max_lat = float(shell[:, 0].max()), float(shell[:, 1].max())
+    boxed = points.filter(
+        (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon)
+        & (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat)
+    )
+    return boxed.filter(pip_contains_udf(rings)(F.col(lon_col), F.col(lat_col)))
+
+
+def bbox_join(images: DataFrame, polygons: DataFrame, how: str = "inner") -> DataFrame:
+    """Which images intersect which polygons — the reference's file-level
+    prefilter (test2.py:94-110) and the catalog's ``findFilesInBounds``
+    (doesSamples.py:488-494), as a broadcast range join."""
+    p = F.broadcast(polygons.select(
+        "polygon_id",
+        F.col("min_lon").alias("p_min_lon"), F.col("min_lat").alias("p_min_lat"),
+        F.col("max_lon").alias("p_max_lon"), F.col("max_lat").alias("p_max_lat"),
+    ))
+    cond = (
+        (images["min_lon"] <= p["p_max_lon"]) & (images["max_lon"] >= p["p_min_lon"])
+        & (images["min_lat"] <= p["p_max_lat"]) & (images["max_lat"] >= p["p_min_lat"])
+    )
+    return images.join(p, cond, how)
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    level: int = 14,
+    max_ring: int = 2,
+    point_cols: tuple = ("longitude", "latitude"),
+    query_cols: tuple = ("lon", "lat"),
+) -> DataFrame:
+    """k-nearest-points per query via cell-ring expansion (SURVEY.md D6;
+    reference semantics = the JS min-distance reduce emitted by the pyc
+    ``tiff_processor_enhanced``: kNN with k=1 over all points).
+
+    Plan shape: points get a cell id (pure codegen); each query emits its
+    ring-0..max_ring candidate cell ids (small pandas UDF + explode);
+    candidates come from a cell equi-join (shuffle hash join on int64
+    keys — never a cross join); top-k via ``row_number`` on
+    (dist2, image_id, pixel_idx) for deterministic ties.
+
+    Guarantee: a result row is exact if its dist is <= the nearest
+    possible distance of the first UNsearched ring; rows are flagged
+    ``exact`` accordingly (queries in empty neighborhoods widen with
+    ``max_ring``).
+    """
+    plon, plat = point_cols
+    qlon, qlat = query_cols
+    cell_w_deg = 360.0 / (1 << level)
+
+    pts = points.withColumn("_cell", cells.cell_id_col(F.col(plon), F.col(plat), level))
+
+    def ring_cells(pdf_iter):
+        for pdf in pdf_iter:
+            qx, qy = cells.tile_xy(pdf[qlon].to_numpy(), pdf[qlat].to_numpy(), level)
+            rows = []
+            for qid, x, y in zip(pdf["query_id"], qx, qy):
+                ring = cells.k_ring_xy(int(x), int(y), level, max_ring)
+                rows.append({"query_id": qid, "_cells": ring.tolist()})
+            yield pd.DataFrame(rows)
+
+    cand_cells = (
+        queries.select("query_id", qlon, qlat)
+        .mapInPandas(ring_cells, "query_id string, _cells array<long>")
+        .select("query_id", F.explode("_cells").alias("_cell"))
+    )
+    q = queries.select("query_id", F.col(qlon).alias("_qlon"), F.col(qlat).alias("_qlat"))
+    cand = (
+        cand_cells.join(pts, "_cell")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "dist2",
+            (F.col(plon) - F.col("_qlon")) * (F.col(plon) - F.col("_qlon"))
+            + (F.col(plat) - F.col("_qlat")) * (F.col(plat) - F.col("_qlat")),
+        )
+    )
+    order = [F.col("dist2"), *[F.col(c) for c in points.columns if c in ("image_id", "pixel_idx")]]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    topk = (
+        cand.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+    )
+    # exactness: kth dist must be within the guaranteed-searched radius
+    # (max_ring ring's nearest edge, conservatively (max_ring)*cell_w)
+    guard = (max_ring * cell_w_deg) ** 2
+    return (
+        topk.withColumn("exact", F.col("dist2") <= F.lit(guard))
+        .drop("_cell", "_qlon", "_qlat")
+    )

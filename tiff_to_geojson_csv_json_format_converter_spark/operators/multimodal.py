@@ -1,0 +1,98 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + typed
+metadata, with decode / feature-extract / resize / frame-sample operators.
+
+The Spark-side plumbing (schemas, Arrow batch shapes, partitioning, UDF
+signatures) is real and tested; the actual media codecs are STUBBED
+(this container has no image/audio libraries): ``decode_media`` raises
+``NotImplementedError`` for real formats and supports the deterministic
+``fake/*`` formats the tests use. Swapping in a real codec is a
+one-function change — the distributed plumbing does not move.
+
+Raster images ARE fully supported end-to-end via sources.codecs (the
+engine's own numpy TIFF/raw/npy codecs); this module is the general
+media surface beyond rasters.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id string, media_type string, fmt string, bytes binary, "
+    "width int, height int, n_frames int, sample_rate int"
+)
+
+FEATURES_SCHEMA = "media_id string, feature array<double>, n_bytes long, ok boolean"
+FRAMES_SCHEMA = "media_id string, frame_idx int, frame_bytes binary"
+
+
+def decode_media(buf: bytes, media_type: str, fmt: str) -> np.ndarray:
+    """STUB decode. ``fake/gray8`` decodes to a uint8 image; anything
+    real raises until a codec library is provisioned."""
+    if fmt == "fake/gray8":
+        side = max(1, int(np.sqrt(len(buf))))
+        return np.frombuffer(buf[: side * side], dtype=np.uint8).reshape(side, side)
+    raise NotImplementedError(
+        f"media codec for {media_type}/{fmt} not available in this environment; "
+        "plug a decoder into decode_media()"
+    )
+
+
+def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
+    """Decode -> mean-pool grid features per item, in mapInPandas batches.
+    Real plumbing: binary in, fixed-width array<double> out, one Arrow
+    batch per ~task; items that fail to decode yield ok=false rows
+    (never task failure — poison-pill media must not kill a 100 TB job)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    img = decode_media(r.bytes, r.media_type, r.fmt)
+                    edges = np.linspace(0, img.shape[0], feat_dim + 1).astype(int)
+                    feat = [float(img[edges[i]:max(edges[i + 1], edges[i] + 1)].mean()) for i in range(feat_dim)]
+                    rows.append((r.media_id, feat, len(r.bytes), True))
+                except NotImplementedError:
+                    rows.append((r.media_id, [0.0] * feat_dim, len(r.bytes), False))
+            yield pd.DataFrame(rows, columns=["media_id", "feature", "n_bytes", "ok"])
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling plumbing for video rows: emits (media_id, frame_idx,
+    frame_bytes) with deterministic stride — one-to-many mapInPandas,
+    the same explode shape the raster extractor uses."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n = int(r.n_frames or 0)
+                frame_len = max(1, len(r.bytes) // max(n, 1))
+                for idx in range(0, n, every_n):
+                    rows.append((r.media_id, idx, r.bytes[idx * frame_len:(idx + 1) * frame_len]))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(run, FRAMES_SCHEMA)
+
+
+def synth_media_df(spark, n: int = 64):
+    """Deterministic fake media table for plumbing tests."""
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng([7, i])
+        side = 16 + (i % 3) * 8
+        buf = rng.integers(0, 255, side * side, dtype=np.int64).astype(np.uint8).tobytes()
+        mt = ["image", "audio", "video"][i % 3]
+        rows.append((
+            f"media_{i:05d}", mt, "fake/gray8" if mt == "image" else ("wav" if mt == "audio" else "mp4"),
+            bytearray(buf), side, side, 30 if mt == "video" else 0, 16000 if mt == "audio" else 0,
+        ))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

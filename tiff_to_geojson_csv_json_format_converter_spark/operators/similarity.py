@@ -1,0 +1,152 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+- ``quantized``: vectors quantized to int64 (floor(v*1000)) make dot
+  products EXACT integers — order-independent, engine-portable, and the
+  oracle-checkable form of cosine ranking.
+- ``brute_topk``: baseline exact top-k. The corpus matrix is collected
+  once, broadcast to executors, and each Arrow batch of queries does one
+  numpy (batch x corpus) matmul — the right brute-force shape up to a
+  few million corpus rows; beyond that use the LSH path.
+- ``lsh_topk``: random-hyperplane LSH bucketing (seeded, deterministic)
+  — candidates from bucket equi-joins only, then exact re-rank. The
+  scale path: no all-pairs work, shuffle bounded by bucket sizes.
+- ``cosine_pairs``: threshold near-dup pairs via the same quantized
+  dot + norms, broadcast-joined blockwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_quantized(df: DataFrame, vec_col: str = "embedding", scale: int = 1000) -> DataFrame:
+    """Add int64-quantized vector + its exact squared norm (built-ins)."""
+    q = F.transform(F.col(vec_col), lambda v: F.floor(v.cast("double") * scale).cast("long"))
+    df = df.withColumn("qvec", q)
+    norm2 = F.aggregate("qvec", F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    return df.withColumn("qnorm2", norm2)
+
+
+def brute_topk(df: DataFrame, k: int = 5, id_col: str = "vec_id",
+               vec_col: str = "embedding", scale: int = 1000) -> DataFrame:
+    """Exact self top-k by quantized cosine. Corpus -> driver -> broadcast
+    numpy matrix; queries stream through in Arrow batches (one matmul per
+    batch). Ties broken by neighbor id ascending; self excluded."""
+    qdf = with_quantized(df, vec_col, scale).select(id_col, "qvec", "qnorm2")
+    corpus = qdf.toPandas()
+    ids = corpus[id_col].to_numpy()
+    M = np.stack(corpus["qvec"].to_numpy()).astype(np.int64)
+    n2 = corpus["qnorm2"].to_numpy().astype(np.int64)
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_M = spark.sparkContext.broadcast(M)
+    b_n2 = spark.sparkContext.broadcast(n2)
+
+    def topk(batches):
+        ids_, M_, n2_ = b_ids.value, b_M.value, b_n2.value
+        order = np.argsort(ids_, kind="stable")
+        for pdf in batches:
+            Q = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            qn2 = pdf["qnorm2"].to_numpy().astype(np.int64)
+            qids = pdf[id_col].to_numpy()
+            dots = Q @ M_.T  # exact int64
+            out = []
+            for r in range(len(qids)):
+                cos = dots[r].astype(np.float64) / np.sqrt(qn2[r] * n2_.astype(np.float64))
+                cos_e6 = np.floor(cos * 1e6).astype(np.int64)
+                mask = ids_ != qids[r]
+                cand = np.flatnonzero(mask)
+                # sort by (-cos_e6, neighbor_id)
+                key = np.lexsort((ids_[cand], -cos_e6[cand]))
+                sel = cand[key[:k]]
+                for rank, j in enumerate(sel, 1):
+                    out.append((int(qids[r]), int(ids_[j]), int(dots[r, j]), int(cos_e6[j]), rank))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "dot_q", "cos_e6", "rank"])
+
+    return qdf.mapInPandas(
+        topk, "query_id long, neighbor_id long, dot_q long, cos_e6 long, rank int"
+    )
+
+
+def cosine_pairs(df: DataFrame, threshold_e6: int = 950_000, id_col: str = "vec_id",
+                 vec_col: str = "embedding", scale: int = 1000) -> DataFrame:
+    """Embedding near-dup pairs: quantized cosine >= threshold. Pure
+    DataFrame form (join + zip_with + aggregate — JVM built-ins all the
+    way); self-join keyed a.id < b.id."""
+    qdf = with_quantized(df, vec_col, scale).select(
+        F.col(id_col).alias("id"), "qvec", "qnorm2"
+    )
+    a = qdf.select(F.col("id").alias("id_a"), F.col("qvec").alias("va"), F.col("qnorm2").alias("na"))
+    b = qdf.select(F.col("id").alias("id_b"), F.col("qvec").alias("vb"), F.col("qnorm2").alias("nb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    pairs = pairs.withColumn("dot_q", dot)
+    cos_e6 = F.floor(
+        F.col("dot_q").cast("double") / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")) * 1e6
+    ).cast("long")
+    return (
+        pairs.withColumn("cos_e6", cos_e6)
+        .filter(F.col("cos_e6") >= threshold_e6)
+        .select("id_a", "id_b", "dot_q", "cos_e6")
+    )
+
+
+def lsh_topk(df: DataFrame, k: int = 5, n_planes: int = 16, id_col: str = "vec_id",
+             vec_col: str = "embedding", dim: int = 64, seed: int = 42,
+             n_tables: int = 4) -> DataFrame:
+    """Approximate top-k: random-hyperplane signatures (n_tables
+    independent tables of n_planes bits), candidates = bucket collisions
+    in any table, exact quantized-cosine re-rank. Recall grows with
+    n_tables; all joins are equi-joins on (table, bucket)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+    spark = df.sparkSession
+    b_planes = spark.sparkContext.broadcast(planes)
+
+    def buckets(batches):
+        P = b_planes.value
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            rows = []
+            for t in range(P.shape[0]):
+                bits = (V @ P[t].T) > 0
+                vals = (bits.astype(np.uint64) << np.arange(P.shape[1], dtype=np.uint64)).sum(axis=1)
+                for i, vid in enumerate(pdf[id_col]):
+                    rows.append((int(vid), t, int(vals[i])))
+            yield pd.DataFrame(rows, columns=["id", "table", "bucket"])
+
+    sig = df.select(id_col, vec_col).mapInPandas(buckets, "id long, table int, bucket long")
+    a = sig.select(F.col("id").alias("query_id"), "table", "bucket")
+    b = sig.select(F.col("id").alias("neighbor_id"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
+    )
+    qdf = with_quantized(df, vec_col).select(
+        F.col(id_col).alias("id"), "qvec", "qnorm2"
+    )
+    qa = qdf.select(F.col("id").alias("query_id"), F.col("qvec").alias("va"), F.col("qnorm2").alias("na"))
+    qb = qdf.select(F.col("id").alias("neighbor_id"), F.col("qvec").alias("vb"), F.col("qnorm2").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v)
+    scored = (
+        cand.join(qa, "query_id").join(qb, "neighbor_id")
+        .withColumn("dot_q", dot)
+        .withColumn(
+            "cos_e6",
+            F.floor(F.col("dot_q").cast("double") / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")) * 1e6).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_e6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "cos_e6", "rank")
+    )

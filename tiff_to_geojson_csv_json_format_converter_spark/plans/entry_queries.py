@@ -1,0 +1,962 @@
+"""Driver-contract query registry: queries() + oracle_sql().
+
+Each entry exercises one (or a few) operators from SURVEY.md §2 over the
+driver's parquet tables at ``sf_dir``. Cross-engine determinism rules
+used throughout (Spark must value-hash-equal DuckDB):
+
+- every derived float is computed with an IDENTICAL IEEE expression tree
+  on both sides (same literals, same association), so doubles are
+  bit-identical;
+- sums/aggregates only ever run over exactly-representable values
+  (integer-valued doubles, int64), so they are order-independent;
+- any genuinely fractional result is floor-quantized to int64
+  (``*_e6``/``*_e12`` columns) on both sides;
+- DuckDB ``SUM(BIGINT)`` returns HUGEINT -> always ``CAST(... AS BIGINT)``.
+
+The derived point table ("pts") maps lineitem rows to a deterministic
+8x8 mosaic of 32x32-pixel images over the reference's golden Delhi box
+(slope.js:158-167), giving the spatial operators an oracle-checkable
+playground at any sf. The raster-decode pipeline itself (binary ->
+pixels) cannot be expressed in DuckDB SQL; those entries are registered
+without an oracle (the driver records rows-only checks) and are instead
+verified row-for-row against the numpy reference oracle in pytest
+(tests/test_extract.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import cells
+from ..operators import dedup, joins, similarity, text, tiling
+from ..sources import synth
+
+# ---------------------------------------------------------------------------
+# shared derived tables
+# ---------------------------------------------------------------------------
+
+_PTS_SQL = """
+    SELECT
+        l_orderkey * 10 + l_linenumber                          AS point_id,
+        (l_orderkey * 10 + l_linenumber) % 64                   AS image_id,
+        ((l_orderkey * 10 + l_linenumber) % 64) % 8             AS imgx,
+        CAST(FLOOR(((l_orderkey * 10 + l_linenumber) % 64) / 8) AS BIGINT) AS imgy,
+        l_partkey % 32                                          AS prow,
+        l_suppkey % 32                                          AS pcol,
+        77.0e0 + (((l_orderkey * 10 + l_linenumber) % 64) % 8) * 0.064e0
+             + ((l_suppkey % 32) + 0.5e0) * 0.002e0                 AS lon,
+        28.5e0 - CAST(FLOOR(((l_orderkey * 10 + l_linenumber) % 64) / 8) AS BIGINT) * 0.064e0
+             - ((l_partkey % 32) + 0.5e0) * 0.002e0                 AS lat,
+        l_quantity                                              AS z,
+        CASE WHEN (l_partkey + l_suppkey) % 10 <> 0 THEN TRUE ELSE FALSE END AS valid
+    FROM lineitem
+"""
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _PTS_SQL — identical expression trees."""
+    li = _load(spark, sf_dir, "lineitem")
+    pid = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    image_id = pid % 64
+    imgx = image_id % 8
+    imgy = F.floor(image_id / 8).cast("long")
+    prow = F.col("l_partkey") % 32
+    pcol = F.col("l_suppkey") % 32
+    lon = F.lit(77.0) + imgx * F.lit(0.064) + (pcol + F.lit(0.5)) * F.lit(0.002)
+    lat = F.lit(28.5) - imgy * F.lit(0.064) - (prow + F.lit(0.5)) * F.lit(0.002)
+    return li.select(
+        pid.alias("point_id"),
+        image_id.alias("image_id"),
+        imgx.alias("imgx"),
+        imgy.alias("imgy"),
+        prow.alias("prow"),
+        pcol.alias("pcol"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+        F.col("l_quantity").alias("z"),
+        ((F.col("l_partkey") + F.col("l_suppkey")) % 10 != 0).alias("valid"),
+    )
+
+
+def _rings(pid: str) -> list:
+    return next(p["rings"] for p in synth.polygons() if p["polygon_id"] == pid)
+
+
+def _dlit(x: float) -> str:
+    """DOUBLE literal for DuckDB: bare decimals parse as DECIMAL (exact
+    arithmetic!), so force scientific notation -> DOUBLE."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s or "inf" in s or "nan" in s) else s + "e0"
+
+
+def _raycast_sql(rings: list, xcol: str, ycol: str) -> str:
+    """SQL mirror of functions.geometry.points_in_polygon — the SAME
+    crossing formula, edge by edge, with DOUBLE literals so both engines
+    evaluate bit-identical float arithmetic."""
+    terms = []
+    for ring in rings:
+        r = [tuple(map(float, p)) for p in ring]
+        if r[0] != r[-1]:
+            r.append(r[0])
+        for (xi, yi), (xj, yj) in zip(r[:-1], r[1:]):
+            if yi == yj:
+                continue  # numpy UDF skips horizontal edges too
+            terms.append(
+                f"(CASE WHEN (({_dlit(yi)} > {ycol}) <> ({_dlit(yj)} > {ycol})) AND "
+                f"({xcol} < ({_dlit(xj - xi)}) * ({ycol} - {_dlit(yi)}) / ({_dlit(yj - yi)}) + {_dlit(xi)}) "
+                f"THEN 1 ELSE 0 END)"
+            )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# A/B/C: scan-project-filter-sample pipeline over the derived mosaic
+# ---------------------------------------------------------------------------
+
+@_register(
+    "affine_extract",
+    f"""
+    WITH pts AS ({_PTS_SQL})
+    SELECT point_id, image_id,
+           CAST(FLOOR(lon * 1000000.0e0) AS BIGINT) AS lon_e6,
+           CAST(FLOOR(lat * 1000000.0e0) AS BIGINT) AS lat_e6,
+           CAST(z AS BIGINT) AS elev
+    FROM pts WHERE valid
+    """,
+)
+def q_affine_extract(spark, sf_dir):
+    """B1/B2/B4/B6: pixel->world affine + NoData-style validity filter."""
+    return (
+        _pts(spark, sf_dir)
+        .filter("valid")
+        .select(
+            "point_id", "image_id",
+            F.floor(F.col("lon") * 1e6).cast("long").alias("lon_e6"),
+            F.floor(F.col("lat") * 1e6).cast("long").alias("lat_e6"),
+            F.col("z").cast("long").alias("elev"),
+        )
+    )
+
+
+@_register(
+    "stride_sample",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    numbered AS (
+        -- point_id alone is not unique (duplicate orderkey+linenumber rows
+        -- exist); order by every output-relevant column so tied rows are
+        -- interchangeable and the kept multiset is engine-independent
+        SELECT image_id, point_id, lon, lat, z,
+               ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY point_id, prow, pcol, z) AS rn
+        FROM pts
+    )
+    SELECT image_id, point_id,
+           CAST(FLOOR(lon * 1000000.0e0) AS BIGINT) AS lon_e6,
+           CAST(FLOOR(lat * 1000000.0e0) AS BIGINT) AS lat_e6
+    FROM numbered WHERE (rn - 1) % 7 = 0
+    """,
+)
+def q_stride_sample(spark, sf_dir):
+    """C1/C2: deterministic per-image stride sampling (modulo filter on
+    the per-image ordinal, doesSamples.py:73-89 semantics)."""
+    pts = _pts(spark, sf_dir)
+    w = Window.partitionBy("image_id").orderBy("point_id", "prow", "pcol", "z")
+    return (
+        pts.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % 7 == 0)
+        .select(
+            "image_id", "point_id",
+            F.floor(F.col("lon") * 1e6).cast("long").alias("lon_e6"),
+            F.floor(F.col("lat") * 1e6).cast("long").alias("lat_e6"),
+        )
+    )
+
+
+@_register(
+    "tile_assign",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    tiled AS (
+        SELECT CAST(FLOOR(((lon + 180.0e0) / 360.0e0) * 4096.0e0) AS BIGINT) * 4096
+             + CAST(FLOOR(((90.0e0 - lat) / 180.0e0) * 4096.0e0) AS BIGINT) AS tile_id,
+               image_id, z
+        FROM pts WHERE valid
+    )
+    SELECT tile_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(DISTINCT image_id) AS BIGINT) AS n_images,
+           CAST(SUM(CAST(z AS BIGINT)) AS BIGINT) AS sum_elev
+    FROM tiled GROUP BY tile_id
+    """,
+)
+def q_tile_assign(spark, sf_dir):
+    """Tiling: level-12 tile assignment (engine Column twin, pure codegen)
+    + per-tile rollup — the north rule's tile-assignment identity."""
+    pts = _pts(spark, sf_dir).filter("valid")
+    return (
+        pts.withColumn("tile_id", cells.tile_id_col(F.col("lon"), F.col("lat"), 12))
+        .groupBy("tile_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.countDistinct("image_id").alias("n_images"),
+            F.sum(F.col("z").cast("long")).alias("sum_elev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D: spatial joins
+# ---------------------------------------------------------------------------
+
+def _zonal(spark, sf_dir, polygon_id: str):
+    pts = _pts(spark, sf_dir).filter("valid")
+    rings = _rings(polygon_id)
+    clipped = joins.clip_points(pts, rings, lon_col="lon", lat_col="lat")
+    zl = F.col("z").cast("long")
+    g = clipped.groupBy("image_id").agg(
+        F.min(zl).alias("min_z"),
+        F.max(zl).alias("max_z"),
+        F.count("*").alias("cnt"),
+        F.sum(zl).alias("sum_z"),
+        F.sum(zl * zl).alias("sum_z2"),
+    )
+    mean = F.col("sum_z").cast("double") / F.col("cnt").cast("double")
+    var = F.col("sum_z2").cast("double") / F.col("cnt").cast("double") - mean * mean
+    return g.select(
+        "image_id", "min_z", "max_z", "cnt",
+        F.floor(mean * 1e6).cast("long").alias("mean_e6"),
+        F.floor(F.sqrt(var) * 1e6).cast("long").alias("std_pop_e6"),
+    )
+
+
+def _zonal_sql(polygon_id: str) -> str:
+    pip = _raycast_sql(_rings(polygon_id), "lon", "lat")
+    return f"""
+    WITH pts AS ({_PTS_SQL}),
+    clipped AS (SELECT * FROM pts WHERE valid AND {pip}),
+    g AS (
+        SELECT image_id,
+               MIN(CAST(z AS BIGINT)) AS min_z,
+               MAX(CAST(z AS BIGINT)) AS max_z,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(z AS BIGINT)) AS BIGINT) AS sum_z,
+               CAST(SUM(CAST(z AS BIGINT) * CAST(z AS BIGINT)) AS BIGINT) AS sum_z2
+        FROM clipped GROUP BY image_id
+    )
+    SELECT image_id, min_z, max_z, cnt,
+           CAST(FLOOR((CAST(sum_z AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS mean_e6,
+           CAST(FLOOR(SQRT(CAST(sum_z2 AS DOUBLE) / CAST(cnt AS DOUBLE)
+                - (CAST(sum_z AS DOUBLE) / CAST(cnt AS DOUBLE)) * (CAST(sum_z AS DOUBLE) / CAST(cnt AS DOUBLE)))
+                * 1000000.0e0) AS BIGINT) AS std_pop_e6
+    FROM g
+    """
+
+
+@_register("zonal_stats_box", _zonal_sql("poly_0000"))
+def q_zonal_stats_box(spark, sf_dir):
+    """D3/E1: golden Delhi box clip (PIP pandas UDF) -> per-image
+    min/max/mean/std_pop/count (population std, numpy ddof=0)."""
+    return _zonal(spark, sf_dir, "poly_0000")
+
+
+@_register("zonal_stats_pentagon", _zonal_sql("poly_0003"))
+def q_zonal_stats_pentagon(spark, sf_dir):
+    """D3: non-axis-aligned convex clip — exact ray-casting semantics."""
+    return _zonal(spark, sf_dir, "poly_0003")
+
+
+@_register("zonal_stats_concave_hole", _zonal_sql("poly_0005"))
+def q_zonal_stats_hole(spark, sf_dir):
+    """D3: polygon with a hole (even-odd PIP)."""
+    return _zonal(spark, sf_dir, "poly_0005")
+
+
+def _poly_values_sql() -> str:
+    rows = []
+    for p in synth.polygons():
+        import numpy as np
+
+        shell = np.asarray(p["rings"][0], dtype=float)
+        rows.append(
+            f"('{p['polygon_id']}', {_dlit(shell[:, 0].min())}, {_dlit(shell[:, 1].min())}, "
+            f"{_dlit(shell[:, 0].max())}, {_dlit(shell[:, 1].max())})"
+        )
+    return "(VALUES " + ", ".join(rows) + ") AS p(polygon_id, p_min_lon, p_min_lat, p_max_lon, p_max_lat)"
+
+
+@_register(
+    "bbox_join",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    img AS (
+        SELECT image_id,
+               77.0e0 + imgx * 0.064e0 AS min_lon, 77.0e0 + imgx * 0.064e0 + 0.064e0 AS max_lon,
+               28.5e0 - imgy * 0.064e0 - 0.064e0 AS min_lat, 28.5e0 - imgy * 0.064e0 AS max_lat
+        FROM pts GROUP BY image_id, imgx, imgy
+    )
+    SELECT image_id, polygon_id FROM img
+    JOIN {_poly_values_sql()}
+      ON min_lon <= p_max_lon AND max_lon >= p_min_lon
+     AND min_lat <= p_max_lat AND max_lat >= p_min_lat
+    """,
+)
+def q_bbox_join(spark, sf_dir):
+    """D1/D2: image-bbox x polygon-bbox broadcast range join (the
+    reference's file prefilter / catalog findFilesInBounds)."""
+    pts = _pts(spark, sf_dir)
+    img = pts.groupBy("image_id", "imgx", "imgy").agg(F.lit(1).alias("_one")).select(
+        "image_id",
+        (F.lit(77.0) + F.col("imgx") * 0.064).alias("min_lon"),
+        (F.lit(77.0) + F.col("imgx") * 0.064 + F.lit(0.064)).alias("max_lon"),
+        (F.lit(28.5) - F.col("imgy") * 0.064 - F.lit(0.064)).alias("min_lat"),
+        (F.lit(28.5) - F.col("imgy") * 0.064).alias("max_lat"),
+    )
+    polys = synth.polygons_df(spark)
+    return joins.bbox_join(img, polys).select("image_id", "polygon_id")
+
+
+@_register(
+    "knn",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    q AS (
+        SELECT CAST(c_custkey AS VARCHAR) AS query_id,
+               77.0e0 + (c_custkey % 100) * 0.005e0 AS qlon,
+               28.0e0 + (c_custkey % 71) * 0.007e0 AS qlat
+        FROM customer WHERE c_custkey % 15 = 0
+    ),
+    scored AS (
+        SELECT q.query_id, p.point_id,
+               ((p.lon - q.qlon) * (p.lon - q.qlon)) + ((p.lat - q.qlat) * (p.lat - q.qlat)) AS dist2
+        FROM q, pts p WHERE p.valid
+    ),
+    ranked AS (
+        SELECT query_id, point_id, dist2,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist2, point_id) AS knn_rank
+        FROM scored
+    )
+    SELECT query_id, point_id, CAST(knn_rank AS INT) AS knn_rank,
+           CAST(FLOOR(dist2 * 1000000000000.0e0) AS BIGINT) AS dist2_e12
+    FROM ranked WHERE knn_rank <= 3
+    """,
+)
+def q_knn(spark, sf_dir):
+    """D6: kNN (k=3) via cell-ring expansion + row_number — checked
+    against the exhaustive SQL scan."""
+    pts = _pts(spark, sf_dir).filter("valid").select(
+        F.col("point_id").alias("pixel_idx"), "lon", "lat"
+    )
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 15 == 0).select(
+        F.col("c_custkey").cast("string").alias("query_id"),
+        (F.lit(77.0) + (F.col("c_custkey") % 100) * F.lit(0.005)).alias("qlon"),
+        (F.lit(28.0) + (F.col("c_custkey") % 71) * F.lit(0.007)).alias("qlat"),
+    )
+    out = joins.knn_join(
+        pts, cust, k=3, level=14, max_ring=2,
+        point_cols=("lon", "lat"), query_cols=("qlon", "qlat"),
+    )
+    return out.select(
+        "query_id",
+        F.col("pixel_idx").alias("point_id"),
+        F.col("knn_rank").cast("int").alias("knn_rank"),
+        F.floor(F.col("dist2") * 1e12).cast("long").alias("dist2_e12"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E/F: aggregates, rollups, sorts, unions, dedup
+# ---------------------------------------------------------------------------
+
+@_register(
+    "catalog_rollup",
+    f"""
+    WITH pts AS ({_PTS_SQL})
+    SELECT image_id,
+           CAST(COUNT(*) AS BIGINT) AS points,
+           CAST(FLOOR(MIN(lon) * 1000000.0e0) AS BIGINT) AS min_lon_e6,
+           CAST(FLOOR(MAX(lon) * 1000000.0e0) AS BIGINT) AS max_lon_e6,
+           CAST(FLOOR(MIN(lat) * 1000000.0e0) AS BIGINT) AS min_lat_e6,
+           CAST(FLOOR(MAX(lat) * 1000000.0e0) AS BIGINT) AS max_lat_e6,
+           CAST(MIN(z) AS BIGINT) AS min_z,
+           CAST(MAX(z) AS BIGINT) AS max_z,
+           CAST(FLOOR(COUNT(*) * 0.1e0) AS BIGINT) AS est_kb
+    FROM pts WHERE valid
+    GROUP BY ROLLUP (image_id)
+    """,
+)
+def q_catalog_rollup(spark, sf_dir):
+    """E3/E4/A12/A13/B14: per-image catalog entries + grand-total
+    overall_bounds row via ROLLUP; est_kb is the reference's 0.1 KB/point
+    size estimate (test.py:447)."""
+    pts = _pts(spark, sf_dir).filter("valid")
+    return pts.rollup("image_id").agg(
+        F.count("*").alias("points"),
+        F.floor(F.min("lon") * 1e6).cast("long").alias("min_lon_e6"),
+        F.floor(F.max("lon") * 1e6).cast("long").alias("max_lon_e6"),
+        F.floor(F.min("lat") * 1e6).cast("long").alias("min_lat_e6"),
+        F.floor(F.max("lat") * 1e6).cast("long").alias("max_lat_e6"),
+        F.min("z").cast("long").alias("min_z"),
+        F.max("z").cast("long").alias("max_z"),
+        F.floor(F.count("*") * 0.1).cast("long").alias("est_kb"),
+    )
+
+
+@_register(
+    "sparsity",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    g AS (
+        SELECT image_id,
+               CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS valid_pixels,
+               CAST(COUNT(*) AS BIGINT) AS total_pixels
+        FROM pts GROUP BY image_id
+    )
+    SELECT image_id, valid_pixels, total_pixels,
+           CAST(FLOOR(CAST(valid_pixels AS DOUBLE) / CAST(total_pixels AS DOUBLE) * 1000000.0e0) AS BIGINT) AS valid_ratio_e6,
+           CASE WHEN CAST(valid_pixels AS DOUBLE) / CAST(total_pixels AS DOUBLE) < 0.1e0
+                THEN 'sparse' ELSE 'dense' END AS data_sparsity
+    FROM g
+    """,
+)
+def q_sparsity(spark, sf_dir):
+    """B11/E2: valid/total counts + the reference's 10 % sparsity label
+    (test.py:94)."""
+    pts = _pts(spark, sf_dir)
+    g = pts.groupBy("image_id").agg(
+        F.sum(F.when(F.col("valid"), 1).otherwise(0)).cast("long").alias("valid_pixels"),
+        F.count("*").alias("total_pixels"),
+    )
+    ratio = F.col("valid_pixels").cast("double") / F.col("total_pixels").cast("double")
+    return g.select(
+        "image_id", "valid_pixels", "total_pixels",
+        F.floor(ratio * 1e6).cast("long").alias("valid_ratio_e6"),
+        F.when(ratio < 0.1, "sparse").otherwise("dense").alias("data_sparsity"),
+    )
+
+
+@_register(
+    "union_lineage",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    u AS (
+        SELECT 'low' AS source_file, image_id, z FROM pts WHERE valid AND z < 10
+        UNION ALL
+        SELECT 'high' AS source_file, image_id, z FROM pts WHERE valid AND z >= 40
+    )
+    SELECT source_file, image_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(z AS BIGINT)) AS BIGINT) AS sum_z
+    FROM u GROUP BY source_file, image_id
+    """,
+)
+def q_union_lineage(spark, sf_dir):
+    """F3/A11: union with a lineage column (the combined-file output)."""
+    pts = _pts(spark, sf_dir).filter("valid")
+    low = pts.filter(F.col("z") < 10).select(F.lit("low").alias("source_file"), "image_id", "z")
+    high = pts.filter(F.col("z") >= 40).select(F.lit("high").alias("source_file"), "image_id", "z")
+    return low.unionByName(high).groupBy("source_file", "image_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("z").cast("long")).alias("sum_z"),
+    )
+
+
+@_register(
+    "dedup_keys",
+    """
+    SELECT DISTINCT o_orderkey % 50 AS file_key FROM orders
+    """,
+)
+def q_dedup_keys(spark, sf_dir):
+    """F4/A1: dropDuplicates (the reference's list(set(files)))."""
+    return _load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 50).alias("file_key")
+    ).dropDuplicates()
+
+
+@_register(
+    "sort_enumerate",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    img AS (SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY image_id)
+    SELECT image_id, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY image_id) AS BIGINT) AS file_seq
+    FROM img
+    """,
+)
+def q_sort_enumerate(spark, sf_dir):
+    """F1/F2/F5: deterministic ordering + enumerate-files analog."""
+    img = _pts(spark, sf_dir).groupBy("image_id").agg(F.count("*").alias("n"))
+    w = Window.orderBy("image_id")
+    return img.withColumn("file_seq", F.row_number().over(w).cast("long"))
+
+
+@_register(
+    "coord_swap_repair",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    corrupted AS (
+        SELECT point_id,
+               CASE WHEN point_id % 7 = 0 THEN lat ELSE lon END AS lon2,
+               CASE WHEN point_id % 7 = 0 THEN lon ELSE lat END AS lat2
+        FROM pts
+    ),
+    repaired AS (
+        SELECT point_id,
+               CASE WHEN lon2 < lat2 THEN lat2 ELSE lon2 END AS lon3,
+               CASE WHEN lon2 < lat2 THEN lon2 ELSE lat2 END AS lat3
+        FROM corrupted
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN lon3 >= 70.0e0 AND lon3 <= 90.0e0 AND lat3 >= 20.0e0 AND lat3 <= 35.0e0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_in_expected_range
+    FROM repaired
+    """,
+)
+def q_coord_swap_repair(spark, sf_dir):
+    """B9: the reference's lat/lon swap-repair heuristic
+    (test2.py:1071-1091) as a when/otherwise column rule."""
+    pts = _pts(spark, sf_dir)
+    corrupted = pts.select(
+        "point_id",
+        F.when(F.col("point_id") % 7 == 0, F.col("lat")).otherwise(F.col("lon")).alias("lon2"),
+        F.when(F.col("point_id") % 7 == 0, F.col("lon")).otherwise(F.col("lat")).alias("lat2"),
+    )
+    swapped = F.col("lon2") < F.col("lat2")
+    repaired = corrupted.select(
+        "point_id",
+        F.when(swapped, F.col("lat2")).otherwise(F.col("lon2")).alias("lon3"),
+        F.when(swapped, F.col("lon2")).otherwise(F.col("lat2")).alias("lat3"),
+    )
+    ok = (
+        (F.col("lon3") >= 70.0) & (F.col("lon3") <= 90.0)
+        & (F.col("lat3") >= 20.0) & (F.col("lat3") <= 35.0)
+    )
+    return repaired.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("n_in_expected_range"),
+    )
+
+
+@_register(
+    "rescale_u8",
+    """
+    SELECT p_partkey,
+           CAST(FLOOR(((CAST(p_partkey % 256 AS DOUBLE) / 255.0e0) * (800.0e0 - 200.0e0) + 200.0e0) * 1000000.0e0) AS BIGINT) AS rescaled_e6
+    FROM part
+    """,
+)
+def q_rescale_u8(spark, sf_dir):
+    """B8: uint8 -> original-range rescale (test2.py:1479-1486)."""
+    return _load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(
+            ((F.col("p_partkey") % 256).cast("double") / F.lit(255.0)
+             * (F.lit(800.0) - F.lit(200.0)) + F.lit(200.0)) * 1e6
+        ).cast("long").alias("rescaled_e6"),
+    )
+
+
+@_register(
+    "layer_pattern_match",
+    """
+    SELECT p.p_partkey, l.category, l.term
+    FROM part p
+    JOIN (VALUES ('size', 'small'), ('size', 'large'), ('temp', 'cold'), ('temp', 'hot'),
+                 ('kind', 'widget'), ('kind', 'gadget')) AS l(category, term)
+      ON contains(lower(p.p_name), l.term)
+    """,
+)
+def q_layer_pattern_match(spark, sf_dir):
+    """B13: config-driven fuzzy layer-name matching
+    (layer_pattern_manager.py:116-154) as a broadcast contains-join."""
+    part = _load(spark, sf_dir, "part")
+    lex = spark_lexicon(part.sparkSession)
+    return part.join(
+        F.broadcast(lex), F.lower(part["p_name"]).contains(lex["term"])
+    ).select("p_partkey", "category", "term")
+
+
+def spark_lexicon(spark):
+    return spark.createDataFrame(
+        [("size", "small"), ("size", "large"), ("temp", "cold"), ("temp", "hot"),
+         ("kind", "widget"), ("kind", "gadget")],
+        "category string, term string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sinks: exact formatting
+# ---------------------------------------------------------------------------
+
+@_register(
+    "csv_format",
+    f"""
+    WITH pts AS ({_PTS_SQL})
+    SELECT point_id, printf('%.6f,%.6f,%.2f', lon, lat, z) AS csv_line
+    FROM pts WHERE valid AND image_id = 0
+    """,
+)
+def q_csv_format(spark, sf_dir):
+    """A7: exact %.6f CSV row formatting (doesSamples.py:101)."""
+    pts = _pts(spark, sf_dir).filter("valid").filter(F.col("image_id") == 0)
+    return pts.select(
+        "point_id",
+        F.format_string("%.6f,%.6f,%.2f", "lon", "lat", "z").alias("csv_line"),
+    )
+
+
+@_register(
+    "geojson_format",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    fmt AS (
+        SELECT point_id,
+               printf('%.6f', lon) AS slon, printf('%.6f', lat) AS slat, printf('%.2f', z) AS sz
+        FROM pts WHERE valid AND image_id = 1
+    ),
+    trimmed AS (
+        SELECT point_id,
+               CASE WHEN regexp_replace(slon, '0+$', '') LIKE '%.' THEN regexp_replace(slon, '0+$', '') || '0' ELSE regexp_replace(slon, '0+$', '') END AS tlon,
+               CASE WHEN regexp_replace(slat, '0+$', '') LIKE '%.' THEN regexp_replace(slat, '0+$', '') || '0' ELSE regexp_replace(slat, '0+$', '') END AS tlat,
+               CASE WHEN regexp_replace(sz, '0+$', '') LIKE '%.' THEN regexp_replace(sz, '0+$', '') || '0' ELSE regexp_replace(sz, '0+$', '') END AS tz
+        FROM fmt
+    )
+    SELECT point_id,
+           '{{"type":"Feature","geometry":{{"type":"Point","coordinates":[' || tlon || ',' || tlat || ',' || tz || ']}}}}' AS feature
+    FROM trimmed
+    """,
+)
+def q_geojson_format(spark, sf_dir):
+    """B12/A6: GeoJSON point-feature string assembly with the reference's
+    compact separators and trimmed floats (completePixleOutput.py:99-128)."""
+    from ..operators import sinks
+
+    pts = _pts(spark, sf_dir).filter("valid").filter(F.col("image_id") == 1)
+    return pts.select(
+        "point_id",
+        sinks.geojson_feature_col("lon", "lat", "z").alias("feature"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Dedup/exact: md5 hash-groupBy."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+@_register(
+    "ngram_jaccard",
+    """
+    WITH pos AS (
+        SELECT doc_id, source, text,
+               unnest(generate_series(1, greatest(length(text) - 3, 1))) AS i
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, source, substr(text, CAST(i AS INT), 4) AS shingle
+        FROM pos
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+        SELECT doc_a, doc_b, n_inter,
+               sa.set_size + sb.set_size - n_inter AS n_union
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, n_inter, CAST(n_union AS BIGINT) AS n_union,
+           CAST(FLOOR(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) * 1000000.0e0) AS BIGINT) AS jaccard_e6
+    FROM scored
+    WHERE CAST(FLOOR(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) * 1000000.0e0) AS BIGINT) >= 300000
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Dedup/n-gram: exact 4-gram Jaccard pairs >= 0.3, blocked by source
+    (inverted shingle index join)."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, n=4, threshold_e6=300_000, block_col="source")
+
+
+@_register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_len,
+           CAST(FLOOR(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 1000000.0e0) AS BIGINT) AS alpha_ratio_e6,
+           CAST(FLOOR(CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 1000000.0e0) AS BIGINT) AS space_ratio_e6,
+           CAST(FLOOR(CAST(len(list_filter(string_split(text, ' '), x -> x IN {text.STOPWORDS!r})) AS DOUBLE)
+                / CAST(len(string_split(text, ' ')) AS DOUBLE) * 1000000.0e0) AS BIGINT) AS stop_ratio_e6,
+           CAST(FLOOR(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+                / CAST(len(string_split(text, ' ')) AS DOUBLE) * 1000000.0e0) AS BIGINT) AS mean_tok_len_e6
+    FROM documents
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Text/quality: length, alpha ratio, space ratio, stopword ratio,
+    mean token length (all built-in expressions)."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.with_quality(docs).select(
+        "doc_id", "n_len", "alpha_ratio_e6", "space_ratio_e6",
+        "stop_ratio_e6", "mean_tok_len_e6",
+    )
+
+
+def _langid_sql() -> str:
+    score_exprs = []
+    for lang, markers in text.LANG_MARKERS.items():
+        score_exprs.append(
+            f"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN {markers!r})) AS BIGINT) AS score_{lang}"
+        )
+    langs = list(text.LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    pred = "'und'"
+    for la in reversed(langs):
+        pred = f"CASE WHEN score_{la} = {best} THEN '{la}' ELSE {pred} END"
+    return f"""
+    WITH scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM documents)
+    SELECT doc_id, {', '.join(f'score_{la}' for la in langs)},
+           CASE WHEN {best} <= 0 THEN 'und' ELSE {pred} END AS pred_lang
+    FROM scored
+    """
+
+
+@_register("langid", _langid_sql())
+def q_langid(spark, sf_dir):
+    """Text/language-ID: marker-lexicon scoring + argmax."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.with_langid(docs).select(
+        "doc_id", *[f"score_{la}" for la in text.LANG_MARKERS], "pred_lang"
+    )
+
+
+@_register(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS BIGINT) AS re_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf_dir):
+    """Text/tokens: whitespace + regex-piece token counts."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.with_token_counts(docs).select("doc_id", "ws_tokens", "re_tokens")
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+_QVEC_SQL = "list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000.0) AS BIGINT))"
+
+
+@_register(
+    "ann_brute_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings
+    ),
+    qn AS (
+        SELECT vec_id, qv,
+               CAST(list_dot_product(list_transform(qv, v -> CAST(v AS DOUBLE)), list_transform(qv, v -> CAST(v AS DOUBLE))) AS BIGINT) AS n2
+        FROM q
+    ),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(list_dot_product(list_transform(a.qv, v -> CAST(v AS DOUBLE)), list_transform(b.qv, v -> CAST(v AS DOUBLE))) AS BIGINT) AS dot_q,
+               a.n2 AS na, b.n2 AS nb
+        FROM qn a, qn b WHERE a.vec_id <> b.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, dot_q,
+               CAST(FLOOR(CAST(dot_q AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS cos_e6
+        FROM pairs
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, dot_q, cos_e6,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, dot_q, cos_e6, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_brute_topk(spark, sf_dir):
+    """Similarity/brute-force: exact quantized-cosine top-5 per vector
+    (broadcast corpus + per-batch numpy matmul)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.brute_topk(emb, k=5)
+
+
+@_register(
+    "embed_neardup",
+    f"""
+    WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+    qn AS (
+        SELECT vec_id, qv,
+               CAST(list_dot_product(list_transform(qv, v -> CAST(v AS DOUBLE)), list_transform(qv, v -> CAST(v AS DOUBLE))) AS BIGINT) AS n2
+        FROM q
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(list_dot_product(list_transform(a.qv, v -> CAST(v AS DOUBLE)), list_transform(b.qv, v -> CAST(v AS DOUBLE))) AS BIGINT) AS dot_q,
+               a.n2 AS na, b.n2 AS nb
+        FROM qn a, qn b WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, dot_q,
+           CAST(FLOOR(CAST(dot_q AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS cos_e6
+    FROM pairs
+    WHERE CAST(FLOOR(CAST(dot_q AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000.0e0) AS BIGINT) >= 400000
+    """,
+)
+def q_embed_neardup(spark, sf_dir):
+    """Similarity/near-dup: quantized-cosine pairs >= 0.4 (zip_with +
+    aggregate built-ins; crossJoin baseline — LSH is the scale path)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, threshold_e6=400_000)
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregation (batch form)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "events_hourly",
+    """
+    SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0e0) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark, sf_dir):
+    """G-analog (batch form of the streaming rollup): hourly tumbling
+    window + per-type counts/sums."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100.0).cast("long")).alias("sum_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (non-SQL-expressible: raster decode, LSH, streaming)
+# ---------------------------------------------------------------------------
+
+@_register("raster_extract_valid")
+def q_raster_extract_valid(spark, sf_dir):
+    """A3/B1-B6 full pipeline on the synthetic Iceberg-shaped image table
+    (binary decode not SQL-expressible; oracle equality in pytest)."""
+    from ..operators import extract
+
+    images = synth.images_df(spark, "xs")
+    return extract.extract_points(images, valid_only=True)
+
+
+@_register("raster_zonal_delhi")
+def q_raster_zonal_delhi(spark, sf_dir):
+    """D3/E1 on real decoded rasters with the golden Delhi polygon."""
+    from ..operators import extract, zonal
+
+    images = synth.images_df(spark, "xs")
+    pts = extract.extract_points(images, valid_only=True)
+    return zonal.zonal_stats(pts, [synth.GOLDEN_DELHI_RING], "poly_0000")
+
+
+@_register("raster_tile_catalog")
+def q_raster_tile_catalog(spark, sf_dir):
+    """Tiling + catalog rollup over decoded rasters."""
+    from ..operators import extract
+
+    images = synth.images_df(spark, "xs")
+    pts = extract.extract_points(images, valid_only=True)
+    return tiling.tile_histogram(pts, level=12)
+
+
+@_register("minhash_lsh_pairs")
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Dedup/MinHash-LSH: banded signature buckets -> verified pairs
+    (approximate recall; exact-Jaccard verified, so precision = 1)."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, n=4, threshold_e6=300_000)
+
+
+@_register("simhash_pairs")
+def q_simhash_pairs(spark, sf_dir):
+    """Dedup/SimHash: Hamming<=3 pairs via pigeonhole band join."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+@_register("doc_fingerprint")
+def q_doc_fingerprint(spark, sf_dir):
+    """Text/fingerprint: rolling polynomial hash (pandas UDF)."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@_register("ann_lsh_topk")
+def q_ann_lsh_topk(spark, sf_dir):
+    """Similarity/LSH: random-hyperplane buckets -> exact re-rank."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, k=5)
+
+
+@_register("media_features")
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary decode -> pooled features (stub codec,
+    real Spark plumbing)."""
+    from ..operators import multimodal
+
+    media = multimodal.synth_media_df(spark, 64)
+    return multimodal.extract_features(media)
