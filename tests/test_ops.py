@@ -1,0 +1,159 @@
+"""Operator-semantics tests: dedup families on planted near-duplicates,
+similarity search vs numpy oracle, text metrics vs Python oracle,
+multimodal plumbing shapes."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tiff_to_geojson_csv_json_format_converter_spark.operators import (
+    dedup, multimodal, similarity, text,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the query engine "
+    "scans a partitioned table and joins the result with a broadcast side"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """40 docs: 30 unique word-salads + 5 near-dup pairs (1-word edits)
+    + an exact duplicate pair."""
+    rng = np.random.default_rng(11)
+    vocab = BASE.split()
+    rows = []
+    did = 0
+    for i in range(30):
+        words = rng.choice(vocab, 30).tolist()
+        rows.append((did, " ".join(words), "src0")); did += 1
+    for i in range(5):
+        words = rng.choice(vocab, 40).tolist()
+        a = " ".join(words)
+        words2 = list(words); words2[3] = "EDITED"
+        rows.append((did, a, "src1")); did += 1
+        rows.append((did, " ".join(words2), "src1")); did += 1
+    rows.append((did, BASE, "src2")); did += 1
+    rows.append((did, BASE, "src2")); did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def _py_jaccard(a: str, b: str, n: int) -> float:
+    sa = {a[i:i + n] for i in range(max(len(a) - n + 1, 1))}
+    sb = {b[i:i + n] for i in range(max(len(b) - n + 1, 1))}
+    return len(sa & sb) / len(sa | sb)
+
+
+class TestDedup:
+    def test_exact_dedup_finds_the_duplicate_pair(self, spark, planted_docs):
+        out = dedup.exact_dedup(planted_docs).toPandas()
+        dups = out[out["n_copies"] > 1]
+        assert len(dups) == 1 and dups.iloc[0]["n_copies"] == 2
+
+    def test_jaccard_pairs_match_python_oracle(self, spark, planted_docs):
+        got = dedup.jaccard_pairs(planted_docs, n=4, threshold_e6=600_000).toPandas()
+        docs = {r["doc_id"]: r["text"] for r in planted_docs.collect()}
+        want = set()
+        ids = sorted(docs)
+        for i in ids:
+            for j in ids:
+                if i < j and _py_jaccard(docs[i], docs[j], 4) >= 0.6:
+                    want.add((i, j))
+        assert set(zip(got["doc_a"], got["doc_b"])) == want
+        assert len(want) >= 6  # the 5 near-dup pairs + exact pair found
+        for _, r in got.iterrows():
+            assert r["jaccard_e6"] == int(np.floor(r["n_inter"] / r["n_union"] * 1e6))
+
+    def test_minhash_lsh_recall_on_planted_dups(self, spark, planted_docs):
+        exact = dedup.jaccard_pairs(planted_docs, n=4, threshold_e6=600_000).toPandas()
+        lsh = dedup.minhash_lsh_pairs(planted_docs, n=4, threshold_e6=600_000).toPandas()
+        exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+        lsh_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
+        # precision 1 by construction (exact verify); recall 1 on these
+        # high-similarity planted pairs with 16 bands x 4 rows
+        assert lsh_pairs <= exact_pairs or not exact_pairs
+        assert lsh_pairs == exact_pairs
+
+    def test_simhash_finds_exact_and_near_dups(self, spark, planted_docs):
+        pairs = dedup.simhash_pairs(planted_docs, max_hamming=6).toPandas()
+        found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        assert (40, 41) in found  # exact duplicate pair: hamming 0
+        ham0 = pairs[(pairs["doc_a"] == 40) & (pairs["doc_b"] == 41)]["hamming"].iloc[0]
+        assert ham0 == 0
+
+
+class TestSimilarity:
+    def test_brute_topk_matches_numpy(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        got = similarity.brute_topk(emb, k=3).toPandas()
+        pdf = emb.toPandas()
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        Q = np.floor(V * 1000.0).astype(np.int64)
+        ids = pdf["vec_id"].to_numpy()
+        dots = Q @ Q.T
+        n2 = np.diag(dots).astype(np.float64)
+        for qi in range(min(20, len(ids))):
+            cos = dots[qi] / np.sqrt(n2[qi] * n2)
+            cos_e6 = np.floor(cos * 1e6).astype(np.int64)
+            mask = ids != ids[qi]
+            cand = np.flatnonzero(mask)
+            key = np.lexsort((ids[cand], -cos_e6[cand]))
+            want = [(int(ids[cand[k]]), int(cos_e6[cand[k]])) for k in key[:3]]
+            sub = got[got["query_id"] == ids[qi]].sort_values("rank")
+            assert list(zip(sub["neighbor_id"], sub["cos_e6"])) == want
+
+    def test_lsh_topk_scores_are_correct_for_returned_pairs(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        got = similarity.lsh_topk(emb, k=3).toPandas()
+        assert (got.groupby("query_id")["rank"].min() == 1).all()
+        pdf = emb.toPandas().set_index("vec_id")
+        for _, r in got.head(30).iterrows():
+            a = np.floor(np.asarray(pdf.loc[r["query_id"], "embedding"], dtype=np.float64) * 1000).astype(np.int64)
+            b = np.floor(np.asarray(pdf.loc[r["neighbor_id"], "embedding"], dtype=np.float64) * 1000).astype(np.int64)
+            assert r["dot_q"] == int(a @ b)
+
+
+class TestText:
+    def test_quality_matches_python(self, spark):
+        rows = [(0, "the cat sat on a mat"), (1, "zzz!!! 123 aaa")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = text.with_quality(df).toPandas().set_index("doc_id")
+        s = rows[0][1]
+        toks = s.split(" ")
+        stop = sum(1 for w in toks if w in text.STOPWORDS)
+        assert out.loc[0, "n_len"] == len(s)
+        assert out.loc[0, "stop_ratio_e6"] == int(np.floor(stop / len(toks) * 1e6))
+        alpha = sum(1 for ch in s if "a" <= ch <= "z")
+        assert out.loc[0, "alpha_ratio_e6"] == int(np.floor(alpha / len(s) * 1e6))
+
+    def test_langid_pred(self, spark):
+        rows = [(0, "the fast query"), (1, "data row column table stuff"), (2, "xyzzy plugh")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = text.with_langid(df).toPandas().set_index("doc_id")
+        assert out.loc[1, "pred_lang"] == "dat"
+        assert out.loc[2, "pred_lang"] == "und"
+
+    def test_fingerprint_deterministic_and_content_sensitive(self, spark):
+        df = spark.createDataFrame([(0, "abc"), (1, "abc"), (2, "abd")], "doc_id long, text string")
+        out = text.with_fingerprint(df).toPandas().set_index("doc_id")
+        assert out.loc[0, "fingerprint"] == out.loc[1, "fingerprint"]
+        assert out.loc[0, "fingerprint"] != out.loc[2, "fingerprint"]
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        media = multimodal.synth_media_df(spark, 30)
+        feats = multimodal.extract_features(media).toPandas()
+        assert len(feats) == 30
+        ok = feats[feats["ok"]]
+        notok = feats[~feats["ok"]]
+        assert len(ok) == 10  # images decode via the fake codec
+        assert len(notok) == 20  # audio/video stubs refuse, don't crash
+        assert all(len(f) == 8 for f in feats["feature"])
+
+    def test_frame_sampling_stride(self, spark):
+        media = multimodal.synth_media_df(spark, 30)
+        frames = multimodal.sample_frames(media, every_n=10).toPandas()
+        vids = 30 // 3
+        assert len(frames) == vids * 3  # 30 frames / stride 10
+        assert sorted(frames["frame_idx"].unique()) == [0, 10, 20]

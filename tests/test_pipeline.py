@@ -1,0 +1,223 @@
+"""End-to-end pipeline tests: zonal/kNN/tiling vs the numpy oracle on
+real decoded rasters, resumable catalog, streaming incremental driver,
+sink formatting parity (SURVEY.md §5 items 3-5)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests import oracle
+from tiff_to_geojson_csv_json_format_converter_spark.functions import cells
+from tiff_to_geojson_csv_json_format_converter_spark.operators import (
+    extract, joins, sinks, tiling, zonal,
+)
+from tiff_to_geojson_csv_json_format_converter_spark.plans.catalog import ParquetCatalog
+from tiff_to_geojson_csv_json_format_converter_spark.sources import synth
+from tiff_to_geojson_csv_json_format_converter_spark.streaming import incremental
+
+
+@pytest.fixture(scope="module")
+def images_pdf():
+    n, sizes = synth.SCALES["xs"]
+    return synth.generate_pandas(np.arange(n), n, sizes)
+
+
+@pytest.fixture(scope="module")
+def points_sdf(spark):
+    return extract.extract_points(synth.images_df(spark, "xs"), valid_only=True).cache()
+
+
+@pytest.fixture(scope="module")
+def points_pdf(images_pdf):
+    return oracle.extract_points(images_pdf, valid_only=True)
+
+
+class TestZonal:
+    def test_golden_delhi_matches_oracle(self, spark, points_sdf, points_pdf):
+        got = zonal.zonal_stats(points_sdf, [synth.GOLDEN_DELHI_RING], "poly_0000").toPandas()
+        want = oracle.zonal_stats(points_pdf, [synth.GOLDEN_DELHI_RING], "poly_0000")
+        assert len(got) == len(want) and len(got) > 0
+        got = got.sort_values(["image_id", "band"]).reset_index(drop=True)
+        want = want.sort_values(["image_id", "band"]).reset_index(drop=True)
+        assert got["image_id"].tolist() == want["image_id"].tolist()
+        assert got["count"].tolist() == want["count"].tolist()
+        np.testing.assert_array_equal(got["min"].to_numpy(), want["min"].to_numpy())
+        np.testing.assert_array_equal(got["max"].to_numpy(), want["max"].to_numpy())
+        np.testing.assert_allclose(got["mean"].to_numpy(), want["mean"].to_numpy(), rtol=1e-12)
+        np.testing.assert_allclose(got["std_pop"].to_numpy(), want["std_pop"].to_numpy(), rtol=1e-9)
+
+    def test_miss_everything_polygon_is_empty(self, spark, points_sdf):
+        rings = [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]]
+        got = zonal.zonal_stats(points_sdf, rings, "poly_0001")
+        assert got.count() == 0
+        resp = json.loads(zonal.stats_response(got, "slope_layer"))
+        assert resp["min_max"]["band_1"] == "Null"  # sentinel contract
+
+    def test_stats_response_contract(self, spark, points_sdf):
+        got = zonal.zonal_stats(points_sdf, [synth.GOLDEN_DELHI_RING], "poly_0000")
+        resp = json.loads(zonal.stats_response(got.limit(1), "slope_layer"))
+        assert resp["status"] == "success"
+        band = resp["min_max"]["band_1"]
+        assert set(band) == {"min", "max", "mean", "std", "count", "data_type"}
+
+
+class TestKnn:
+    def test_knn_matches_exhaustive_oracle(self, spark, points_sdf, points_pdf):
+        queries = synth.knn_queries(24)
+        # restrict to queries near data (ring expansion bounded); far-away
+        # probes are exercised for the 'exact' flag below
+        near = queries[(queries.lon > 70) & (queries.lon < 90)].reset_index(drop=True)
+        qdf = spark.createDataFrame(near)
+        got = joins.knn_join(
+            points_sdf.select("image_id", "pixel_idx", "longitude", "latitude"),
+            qdf, k=1, level=12, max_ring=3,
+        ).toPandas().set_index("query_id")
+        # exhaustive numpy oracle (the reference JS min-distance reduce)
+        P = points_pdf
+        for _, q in near.iterrows():
+            d2 = (P["longitude"].to_numpy() - q.lon) ** 2 + (P["latitude"].to_numpy() - q.lat) ** 2
+            order = np.lexsort((P["pixel_idx"].to_numpy(), P["image_id"].to_numpy(), d2))
+            best = order[0]
+            if q.query_id in got.index:
+                row = got.loc[q.query_id]
+                if bool(np.atleast_1d(row["exact"])[0]):
+                    assert np.atleast_1d(row["dist2"])[0] == pytest.approx(d2[best], rel=1e-12), q.query_id
+
+    def test_far_query_flagged_inexact_or_absent(self, spark, points_sdf):
+        import pandas as pd
+
+        far = pd.DataFrame([{"query_id": "far_1", "lon": -120.0, "lat": 40.0, "k": 1}])
+        got = joins.knn_join(
+            points_sdf.select("image_id", "pixel_idx", "longitude", "latitude"),
+            spark.createDataFrame(far), k=1, level=12, max_ring=2,
+        ).toPandas()
+        assert len(got) == 0 or not got["exact"].any()
+
+
+class TestTiling:
+    def test_column_twin_equals_numpy(self, spark, points_sdf, points_pdf):
+        from pyspark.sql import functions as F
+
+        got = (
+            points_sdf.withColumn("cell_id", cells.cell_id_col(F.col("longitude"), F.col("latitude"), 12))
+            .withColumn("tile_id", cells.tile_id_col(F.col("longitude"), F.col("latitude"), 12))
+            .select("image_id", "pixel_idx", "band", "cell_id", "tile_id")
+            .toPandas()
+            .sort_values(["image_id", "band", "pixel_idx"])
+            .reset_index(drop=True)
+        )
+        P = points_pdf.sort_values(["image_id", "band", "pixel_idx"]).reset_index(drop=True)
+        want_cell = cells.cell_id(P["longitude"].to_numpy(), P["latitude"].to_numpy(), 12)
+        tx, ty = cells.tile_xy(P["longitude"].to_numpy(), P["latitude"].to_numpy(), 12)
+        assert np.array_equal(got["cell_id"].to_numpy(), want_cell)
+        assert np.array_equal(got["tile_id"].to_numpy(), tx * (1 << 12) + ty)
+
+    def test_salted_repartition_preserves_rows(self, spark, points_sdf):
+        tiled = tiling.assign_tiles(points_sdf, 12)
+        before = tiled.count()
+        after_df = tiling.salted_repartition(tiled, "cell_id", salt_buckets=4, num_partitions=8)
+        assert after_df.count() == before
+        assert after_df.columns == tiled.columns
+
+    def test_catalog_rollup_overall_equals_union_of_files(self, spark, points_sdf):
+        roll = tiling.catalog_rollup(points_sdf).toPandas()
+        overall = roll[roll["is_overall"]]
+        per_file = roll[~roll["is_overall"]]
+        assert len(overall) == 1
+        o = overall.iloc[0]
+        assert o["points"] == per_file["points"].sum()
+        assert o["min_longitude"] == per_file["min_longitude"].min()
+        assert o["max_latitude"] == per_file["max_latitude"].max()
+
+
+class TestCatalogResume:
+    def test_kill_and_resume_no_duplicates(self, spark, points_sdf, tmp_path):
+        root = str(tmp_path / "cat")
+        df = tiling.assign_tiles(points_sdf, 12).withColumn(
+            "part_key", (F_col("cell_id") % 4).cast("string")
+        )
+        cat = ParquetCatalog(spark, root)
+        parts = sorted(r[0] for r in df.select("part_key").distinct().collect())
+        # first run writes only half the partitions, then "dies"
+        r1 = cat.run_partitioned_job(df, "part_key", "snap-001", parts=parts[:2])
+        assert set(r1["written"]) == set(parts[:2])
+        # resume writes the rest, skips completed
+        r2 = cat.run_partitioned_job(df, "part_key", "snap-002", parts=parts)
+        assert set(r2["skipped"]) == set(parts[:2])
+        assert set(r2["written"]) == set(parts[2:])
+        # re-run is a full no-op
+        r3 = cat.run_partitioned_job(df, "part_key", "snap-003", parts=parts)
+        assert not r3["written"]
+        # no duplicates: total rows in catalog == source rows
+        assert cat.read().count() == df.count()
+        snaps = cat.snapshots()
+        assert [s["snapshot_id"] for s in snaps] == ["snap-001", "snap-002", "snap-003"]
+
+
+def F_col(name):
+    from pyspark.sql import functions as F
+
+    return F.col(name)
+
+
+class TestStreaming:
+    def test_available_now_incremental_matches_batch(self, spark, tmp_path):
+        images_path = str(tmp_path / "images")
+        out_path = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        synth.images_df(spark, "xs").write.parquet(images_path)
+        q = incremental.incremental_extract(spark, images_path, out_path, ckpt)
+        q.awaitTermination(300)
+        got = spark.read.parquet(out_path)
+        batch = extract.extract_points(spark.read.parquet(images_path), valid_only=True)
+        assert got.count() == batch.count()
+        # second run: checkpoint says nothing new -> no additional rows
+        q2 = incremental.incremental_extract(spark, images_path, out_path, ckpt)
+        q2.awaitTermination(300)
+        assert spark.read.parquet(out_path).count() == batch.count()
+
+    def test_windowed_event_counts(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = incremental.windowed_event_counts(ev).toPandas()
+        assert out["n"].sum() == ev.count()
+
+
+class TestSinks:
+    def test_geojson_feature_matches_reference_json(self, spark, points_sdf):
+        """Feature strings must byte-equal the reference's
+        json.dump(separators=(',',':')) of the rounded floats
+        (completePixleOutput.py:99-128)."""
+        sample = points_sdf.filter("band = 0").limit(200)
+        got = [r[0] for r in sample.select(sinks.geojson_feature_col()).collect()]
+        rows = sample.collect()
+        for feat, r in zip(got, rows):
+            want = json.dumps(
+                {"type": "Feature",
+                 "geometry": {"type": "Point",
+                              "coordinates": [r["longitude"], r["latitude"], r["elevation"]]}},
+                separators=(",", ":"),
+            )
+            assert feat == want, (feat, want)
+
+    def test_feature_collection_envelope(self, spark, points_sdf):
+        fc = sinks.geojson_feature_collection(points_sdf.limit(5), "img_x.tif", 256)
+        doc = json.loads(fc)
+        assert doc["type"] == "FeatureCollection"
+        assert doc["metadata"]["geojson_points"] == 5
+        assert len(doc["features"]) == 5
+
+    def test_struct_of_arrays_json(self, spark, points_sdf):
+        doc = json.loads(sinks.json_struct_of_arrays(points_sdf.limit(10), {"source_file": "x"}))
+        assert set(doc["data"]) == {"longitude", "latitude", "elevation"}
+        assert len(doc["data"]["longitude"]) == 10
+
+    def test_master_catalog(self, spark, points_sdf):
+        images = synth.images_df(spark, "xs")
+        cat = sinks.master_catalog(points_sdf, images)
+        assert cat["type"] == "elevation_catalog"
+        assert cat["total_files"] == len(cat["files"])
+        lo = min(f["bounds_wgs84"]["min_longitude"] for f in cat["files"])
+        assert cat["overall_bounds"]["min_x"] == lo

@@ -1,0 +1,83 @@
+"""Physical-plan shape assertions: the scale properties SURVEY.md §4
+promises must be visible in explain() output, not just hoped for.
+
+- parquet scans receive pushed filters + pruned columns
+- the polygon side of bbox joins is broadcast (no shuffle of the big side)
+- tile assignment is pure codegen (no Python evaluation node)
+- extraction is shuffle-free (embarrassingly parallel)
+- kNN candidate generation is an equi-join, never a cartesian product
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tiff_to_geojson_csv_json_format_converter_spark.functions import cells
+from tiff_to_geojson_csv_json_format_converter_spark.operators import extract, joins, tiling
+from tiff_to_geojson_csv_json_format_converter_spark.sources import synth
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_parquet_scan_pushdown(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 30.0)
+        .select("l_orderkey", "l_quantity")
+    )
+    p = plan_str(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)" in p
+    assert "ReadSchema" in p and "l_partkey" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_bbox_join_is_broadcast(spark):
+    images = synth.images_df(spark, "xs")
+    polys = synth.polygons_df(spark)
+    p = plan_str(joins.bbox_join(images, polys))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_tile_assignment_is_pure_codegen(spark):
+    pts = spark.createDataFrame(
+        [(77.2, 28.3)], "longitude double, latitude double"
+    )
+    df = tiling.assign_tiles(pts, 12)
+    p = plan_str(df)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # and numerically equal to the numpy twin
+    row = df.collect()[0]
+    assert row["cell_id"] == int(cells.cell_id(np.array([77.2]), np.array([28.3]), 12)[0])
+
+
+def test_extraction_has_no_shuffle(spark):
+    images = synth.images_df(spark, "xs")
+    p = plan_str(extract.extract_points(images))
+    assert "Exchange" not in p
+
+
+def test_knn_has_no_cartesian_product(spark):
+    pts = spark.createDataFrame(
+        [(1, 77.2, 28.3)], "pixel_idx long, longitude double, latitude double"
+    )
+    qs = spark.createDataFrame([("q1", 77.2, 28.3)], "query_id string, lon double, lat double")
+    p = plan_str(joins.knn_join(pts, qs, k=1))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_salted_repartition_plan_shuffles_on_salt(spark):
+    pts = extract.extract_points(synth.images_df(spark, "xs"))
+    tiled = tiling.assign_tiles(pts, 12)
+    p = plan_str(tiling.salted_repartition(tiled, "cell_id", salt_buckets=4, num_partitions=8))
+    assert "hashpartitioning(cell_id" in p and "_salt" in p

@@ -61,7 +61,11 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold_e6: int = 500_000,
     the standard web-pipeline blocking strategy.
     """
     extra = (block_col,) if block_col else ()
-    sh = shingles(df, n, id_col, text_col, extra).cache()
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    # single-file parquet sources arrive in one partition; spread the
+    # exploded inverted index across the cluster before the self-join
+    sh = shingles(df, n, id_col, text_col, extra).repartition(n_parts, "shingle").cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     join_keys = ["shingle", *([block_col] if block_col else [])]
     a = sh.select(*[F.col(c).alias(f"a_{c}") if c == id_col else F.col(c) for c in sh.columns])

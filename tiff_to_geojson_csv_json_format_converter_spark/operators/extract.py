@@ -176,6 +176,81 @@ def extract_points(
     return src.mapInArrow(run, POINTS_SCHEMA)
 
 
+def extract_tile_partials(images_df, level: int = 12, valid_only: bool = True):
+    """FUSED decode -> affine -> reproject -> filter -> tile-assign ->
+    per-tile partial aggregation, all inside one Arrow pass.
+
+    The row-materializing path (extract_points) moves every pixel through
+    Arrow to the JVM — fine when the points ARE the output, wasteful when
+    an aggregate is. This operator emits one row per (tile_id, image
+    batch): ``n_points, sum_z, sum_z2, min_z, max_z`` — integer-exact
+    partials a final groupBy folds associatively. Data crossing the
+    Python->JVM boundary shrinks from O(pixels) to O(tiles); at 10^12
+    images this is the difference between shuffling petabytes and
+    megabytes.
+    """
+    from ..functions import cells as _cells
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "transform", "crs", "band_count"]
+    src = images_df.select(*cols)
+    schema = "tile_id long, n_points long, sum_z double, sum_z2 double, min_z double, max_z double"
+
+    def run(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in batches:
+            tbl = batch.to_pydict()
+            acc: dict = {}
+            for j in range(batch.num_rows):
+                for _band, bi, bl, bb, bz in _extract_image(
+                    tbl["image_id"][j], tbl["bytes"][j], tbl["w"][j], tbl["h"][j],
+                    tbl["fmt"][j], tbl["transform"][j], tbl["crs"][j],
+                    tbl["band_count"][j], valid_only, None, None, True,
+                ):
+                    if len(bi) == 0:
+                        continue
+                    tids = _cells.tile_xy(bl, bb, level)
+                    tid = tids[0] * (1 << level) + tids[1]
+                    order = np.argsort(tid, kind="stable")
+                    tid_s, z_s = tid[order], bz[order]
+                    bounds = np.flatnonzero(np.diff(tid_s)) + 1
+                    starts = np.concatenate([[0], bounds])
+                    ends = np.concatenate([bounds, [len(tid_s)]])
+                    sums = np.add.reduceat(z_s, starts)
+                    sums2 = np.add.reduceat(z_s * z_s, starts)
+                    mins = np.minimum.reduceat(z_s, starts)
+                    maxs = np.maximum.reduceat(z_s, starts)
+                    for k in range(len(starts)):
+                        t = int(tid_s[starts[k]])
+                        n = int(ends[k] - starts[k])
+                        if t in acc:
+                            a = acc[t]
+                            a[0] += n; a[1] += sums[k]; a[2] += sums2[k]
+                            a[3] = min(a[3], mins[k]); a[4] = max(a[4], maxs[k])
+                        else:
+                            acc[t] = [n, sums[k], sums2[k], mins[k], maxs[k]]
+            if acc:
+                tids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+                vals = np.array(list(acc.values()), dtype=np.float64)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(tids), pa.array(vals[:, 0].astype(np.int64)),
+                     pa.array(vals[:, 1]), pa.array(vals[:, 2]),
+                     pa.array(vals[:, 3]), pa.array(vals[:, 4])],
+                    names=["tile_id", "n_points", "sum_z", "sum_z2", "min_z", "max_z"],
+                )
+
+    partials = src.mapInArrow(run, schema)
+    from pyspark.sql import functions as F
+
+    return partials.groupBy("tile_id").agg(
+        F.sum("n_points").alias("n_points"),
+        F.sum("sum_z").alias("sum_z"),
+        F.sum("sum_z2").alias("sum_z2"),
+        F.min("min_z").alias("min_z"),
+        F.max("max_z").alias("max_z"),
+    )
+
+
 def analyze_images(points_df):
     """Per-image metadata aggregates — the analyze-only pipeline
     (test.py:110-200): bounds of valid points + counts. Pure built-in

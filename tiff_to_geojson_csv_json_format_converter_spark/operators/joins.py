@@ -81,6 +81,7 @@ def knn_join(
     max_ring: int = 2,
     point_cols: tuple = ("longitude", "latitude"),
     query_cols: tuple = ("lon", "lat"),
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """k-nearest-points per query via cell-ring expansion (SURVEY.md D6;
     reference semantics = the JS min-distance reduce emitted by the pyc
@@ -101,7 +102,16 @@ def knn_join(
     qlon, qlat = query_cols
     cell_w_deg = 360.0 / (1 << level)
 
+    spark = points.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
     pts = points.withColumn("_cell", cells.cell_id_col(F.col(plon), F.col(plat), level))
+    # The small candidate side gets broadcast, so the join inherits the
+    # POINTS side's partitioning — a single-file parquet scan would make
+    # the whole fan-out single-task. Co-locate points by cell across
+    # n_parts tasks (at real scale the table is already written
+    # cell-partitioned and this is a no-op repartition).
+    if points.rdd.getNumPartitions() < n_parts:
+        pts = pts.repartition(n_parts, "_cell")
 
     def ring_cells(pdf_iter):
         for pdf in pdf_iter:
@@ -116,8 +126,10 @@ def knn_join(
         queries.select("query_id", qlon, qlat)
         .mapInPandas(ring_cells, "query_id string, _cells array<long>")
         .select("query_id", F.explode("_cells").alias("_cell"))
+        .repartition(n_parts, "query_id", "_cell")
     )
     q = queries.select("query_id", F.col(qlon).alias("_qlon"), F.col(qlat).alias("_qlat"))
+    id_cols = [c for c in points.columns if c in ("image_id", "pixel_idx", "band")]
     cand = (
         cand_cells.join(pts, "_cell")
         .join(F.broadcast(q), "query_id")
@@ -126,8 +138,10 @@ def knn_join(
             (F.col(plon) - F.col("_qlon")) * (F.col(plon) - F.col("_qlon"))
             + (F.col(plat) - F.col("_qlat")) * (F.col(plat) - F.col("_qlat")),
         )
+        # slim before the window shuffle: only ids + rank key cross the wire
+        .select("query_id", *id_cols, plon, plat, "dist2")
     )
-    order = [F.col("dist2"), *[F.col(c) for c in points.columns if c in ("image_id", "pixel_idx")]]
+    order = [F.col("dist2"), *[F.col(c) for c in id_cols if c in ("image_id", "pixel_idx")]]
     w = Window.partitionBy("query_id").orderBy(*order)
     topk = (
         cand.withColumn("knn_rank", F.row_number().over(w))

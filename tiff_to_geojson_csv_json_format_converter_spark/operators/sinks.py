@@ -33,14 +33,17 @@ def csv_line_col(lon="longitude", lat="latitude", z="elevation", fmt: str = "%.6
 
 def geojson_feature_col(lon="longitude", lat="latitude", z="elevation"):
     """GeoJSON Feature string, byte-compatible with the reference's
-    json.dump(separators=(',',':')) of rounded floats: %.6f/%.6f/%.2f
-    rendered then trailing zeros trimmed the way repr() of the rounded
-    float would print (reference rounds first, so repr == shortest)."""
+    json.dump(separators=(',',':')) of the rounded values
+    (completePixleOutput.py:99-128): lon/lat are 6-dp-rounded doubles,
+    rendered %.6f then trailing-zero-trimmed (== repr of the rounded
+    double); elevation is float(np.float32-rounded) — the reference
+    prints its full double repr (e.g. 1001.52001953125), so it is cast
+    to string (JVM shortest-roundtrip toString == Python repr here)."""
     return F.format_string(
         '{"type":"Feature","geometry":{"type":"Point","coordinates":[%s,%s,%s]}}',
         _trim_num(F.format_string("%.6f", F.col(lon))),
         _trim_num(F.format_string("%.6f", F.col(lat))),
-        _trim_num(F.format_string("%.2f", F.col(z))),
+        F.col(z).cast("string"),
     )
 
 

@@ -40,6 +40,77 @@ def zonal_stats(points: DataFrame, rings: list, polygon_id: str = "poly") -> Dat
     )
 
 
+def zonal_stats_fused(images: DataFrame, rings: list, polygon_id: str = "poly") -> DataFrame:
+    """FUSED decode -> clip -> per-(image, band) partial stats in one
+    Arrow pass (the O(pixels)->O(images) shuffle shrink; see
+    extract.extract_tile_partials). The polygon rides in by closure
+    (broadcast); per-image bbox pre-check skips decode entirely for
+    non-overlapping images — the reference's file prefilter, fused."""
+    import numpy as np
+
+    from ..functions import geometry as _geometry
+    from . import extract as _extract
+
+    rings_arr = [np.asarray(r, dtype=np.float64) for r in rings]
+    shell = rings_arr[0]
+    p_bbox = (shell[:, 0].min(), shell[:, 1].min(), shell[:, 0].max(), shell[:, 1].max())
+    cols = ["image_id", "bytes", "w", "h", "fmt", "transform", "crs", "band_count",
+            "min_lon", "min_lat", "max_lon", "max_lat"]
+    src = images.select(*cols)
+    schema = ("image_id string, band int, n long, s double, s2 double, "
+              "mn double, mx double")
+
+    def run(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            tbl = batch.to_pydict()
+            rows = []
+            for j in range(batch.num_rows):
+                i_bbox = (tbl["min_lon"][j], tbl["min_lat"][j], tbl["max_lon"][j], tbl["max_lat"][j])
+                if not _geometry.bbox_intersects(i_bbox, p_bbox):
+                    continue  # bbox prefilter: skip the decode entirely
+                for band, bi, bl, bb, bz in _extract._extract_image(
+                    tbl["image_id"][j], tbl["bytes"][j], tbl["w"][j], tbl["h"][j],
+                    tbl["fmt"][j], tbl["transform"][j], tbl["crs"][j],
+                    tbl["band_count"][j], True, None, None, True,
+                ):
+                    if len(bi) == 0:
+                        continue
+                    inside = _geometry.points_in_polygon(bl, bb, rings_arr)
+                    z = bz[inside]
+                    if len(z) == 0:
+                        continue
+                    rows.append((tbl["image_id"][j], band, len(z),
+                                 float(z.sum()), float((z * z).sum()),
+                                 float(z.min()), float(z.max())))
+            if rows:
+                import pandas as pd
+
+                yield pa.RecordBatch.from_pandas(
+                    pd.DataFrame(rows, columns=["image_id", "band", "n", "s", "s2", "mn", "mx"])
+                ).cast(pa.schema([
+                    ("image_id", pa.string()), ("band", pa.int32()), ("n", pa.int64()),
+                    ("s", pa.float64()), ("s2", pa.float64()),
+                    ("mn", pa.float64()), ("mx", pa.float64()),
+                ]))
+
+    partials = src.mapInArrow(run, schema)
+    g = partials.groupBy("image_id", "band").agg(
+        F.sum("n").alias("count"),
+        F.sum("s").alias("s"), F.sum("s2").alias("s2"),
+        F.min("mn").alias("min"), F.max("mx").alias("max"),
+    )
+    mean = F.col("s") / F.col("count")
+    var = F.col("s2") / F.col("count") - mean * mean
+    return (
+        g.withColumn("polygon_id", F.lit(polygon_id))
+        .withColumn("mean", mean)
+        .withColumn("std_pop", F.sqrt(F.greatest(var, F.lit(0.0))))
+        .select("polygon_id", "image_id", "band", "min", "max", "mean", "std_pop", "count")
+    )
+
+
 def zonal_stats_multi(points: DataFrame, polygons: list[dict]) -> DataFrame:
     """Many polygons at once: unioned per-polygon clips (each polygon's
     bbox predicate still prunes independently). For large polygon layers

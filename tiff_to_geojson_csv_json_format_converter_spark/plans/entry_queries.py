@@ -638,14 +638,14 @@ def q_csv_format(spark, sf_dir):
     WITH pts AS ({_PTS_SQL}),
     fmt AS (
         SELECT point_id,
-               printf('%.6f', lon) AS slon, printf('%.6f', lat) AS slat, printf('%.2f', z) AS sz
+               printf('%.6f', lon) AS slon, printf('%.6f', lat) AS slat,
+               CAST(z AS VARCHAR) AS tz
         FROM pts WHERE valid AND image_id = 1
     ),
     trimmed AS (
-        SELECT point_id,
+        SELECT point_id, tz,
                CASE WHEN regexp_replace(slon, '0+$', '') LIKE '%.' THEN regexp_replace(slon, '0+$', '') || '0' ELSE regexp_replace(slon, '0+$', '') END AS tlon,
-               CASE WHEN regexp_replace(slat, '0+$', '') LIKE '%.' THEN regexp_replace(slat, '0+$', '') || '0' ELSE regexp_replace(slat, '0+$', '') END AS tlat,
-               CASE WHEN regexp_replace(sz, '0+$', '') LIKE '%.' THEN regexp_replace(sz, '0+$', '') || '0' ELSE regexp_replace(sz, '0+$', '') END AS tz
+               CASE WHEN regexp_replace(slat, '0+$', '') LIKE '%.' THEN regexp_replace(slat, '0+$', '') || '0' ELSE regexp_replace(slat, '0+$', '') END AS tlat
         FROM fmt
     )
     SELECT point_id,

@@ -27,7 +27,7 @@ import numpy as np
 NODATA_F32 = np.float32(-3.4028235e38)  # reference NoData sentinel (willOnlyStoreValidPoints.py:66-68)
 
 # --- TIFF subset -----------------------------------------------------------
-# Tag ids (TIFF 6.0 spec, public):
+# Tag ids (TIFF 6.0 + GeoTIFF 1.1 + GDAL specs, all public):
 _T_WIDTH = 256
 _T_HEIGHT = 257
 _T_BITS = 258
@@ -38,13 +38,36 @@ _T_SAMPLES_PER_PIXEL = 277
 _T_ROWS_PER_STRIP = 278
 _T_STRIP_BYTE_COUNTS = 279
 _T_SAMPLE_FORMAT = 339
+_T_MODEL_PIXEL_SCALE = 33550   # GeoTIFF: (sx, sy, sz) doubles
+_T_MODEL_TIEPOINT = 33922      # GeoTIFF: (i, j, k, x, y, z) doubles
+_T_GEO_KEYS = 34735            # GeoTIFF: GeoKeyDirectory shorts
+_T_GDAL_NODATA = 42113         # GDAL: ASCII nodata value
 
 _SF_UINT = 1
 _SF_IEEEFP = 3
 
+# GeoKey ids
+_GK_MODEL_TYPE = 1024          # 1=projected, 2=geographic
+_GK_GEOGRAPHIC_TYPE = 2048     # EPSG geographic CS (4326)
+_GK_PROJECTED_TYPE = 3072      # EPSG projected CS (326xx)
 
-def encode_tiff(arr: np.ndarray) -> bytes:
-    """Encode a 2-D uint8/float32 array as a minimal baseline TIFF."""
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 12: 8}  # BYTE, ASCII, SHORT, LONG, DOUBLE
+
+
+def encode_tiff(
+    arr: np.ndarray,
+    transform: tuple | None = None,
+    crs: str | None = None,
+    nodata: float | None = None,
+) -> bytes:
+    """Encode a 2-D uint8/float32 array as a minimal baseline (Geo)TIFF.
+
+    With ``transform``/``crs``/``nodata`` set, writes the GeoTIFF tags
+    (ModelPixelScale, ModelTiepoint, GeoKeyDirectory) and GDAL's nodata
+    tag — the same metadata rasterio reads as ``dataset.transform``,
+    ``dataset.crs``, ``dataset.nodata`` (test.py:291-298). Only
+    axis-aligned transforms (b = d = 0) are representable this way.
+    """
     arr = np.ascontiguousarray(arr)
     if arr.dtype == np.float32:
         bits, sfmt = 32, _SF_IEEEFP
@@ -54,56 +77,154 @@ def encode_tiff(arr: np.ndarray) -> bytes:
         raise ValueError(f"unsupported dtype {arr.dtype}")
     h, w = arr.shape
     pixel_bytes = arr.tobytes()
-    tags = [
+
+    tags: list[tuple[int, int, int, object]] = [
         (_T_WIDTH, 3, 1, w),
         (_T_HEIGHT, 3, 1, h),
         (_T_BITS, 3, 1, bits),
         (_T_COMPRESSION, 3, 1, 1),
         (_T_PHOTOMETRIC, 3, 1, 1),
-        (_T_STRIP_OFFSETS, 4, 1, 0),  # patched below
+        (_T_STRIP_OFFSETS, 4, 1, None),  # patched after layout
         (_T_SAMPLES_PER_PIXEL, 3, 1, 1),
         (_T_ROWS_PER_STRIP, 3, 1, h),
         (_T_STRIP_BYTE_COUNTS, 4, 1, len(pixel_bytes)),
         (_T_SAMPLE_FORMAT, 3, 1, sfmt),
     ]
+    if transform is not None:
+        a, b, c, d, e, f = (float(v) for v in transform)
+        if b != 0.0 or d != 0.0:
+            raise ValueError("GeoTIFF PixelScale form requires axis-aligned transform")
+        tags.append((_T_MODEL_PIXEL_SCALE, 12, 3, struct.pack("<3d", a, -e, 0.0)))
+        tags.append((_T_MODEL_TIEPOINT, 12, 6, struct.pack("<6d", 0.0, 0.0, 0.0, c, f, 0.0)))
+    if crs is not None:
+        epsg = int(crs.split(":")[1])
+        if crs.upper().startswith("EPSG:4326") or epsg == 4326:
+            keys = [(
+                _GK_MODEL_TYPE, 0, 1, 2), (_GK_GEOGRAPHIC_TYPE, 0, 1, 4326)]
+        else:
+            keys = [(_GK_MODEL_TYPE, 0, 1, 1), (_GK_PROJECTED_TYPE, 0, 1, epsg)]
+        shorts = [1, 1, 0, len(keys)]
+        for k in keys:
+            shorts.extend(k)
+        tags.append((_T_GEO_KEYS, 3, len(shorts), struct.pack(f"<{len(shorts)}H", *shorts)))
+    if nodata is not None:
+        s = (repr(float(nodata)) + "\x00").encode("ascii")
+        tags.append((_T_GDAL_NODATA, 2, len(s), s))
+
+    tags.sort(key=lambda t: t[0])  # TIFF requires ascending tag order
     n = len(tags)
     ifd_offset = 8
-    data_offset = ifd_offset + 2 + n * 12 + 4
+    ext_offset = ifd_offset + 2 + n * 12 + 4  # external tag data starts here
+    ext_chunks: list[bytes] = []
+    entries = []
+    for tag, typ, count, value in tags:
+        size = _TYPE_SIZES[typ] * count
+        if isinstance(value, bytes):
+            if size <= 4:
+                packed = value.ljust(4, b"\x00")
+                entries.append(struct.pack("<HHI", tag, typ, count) + packed)
+            else:
+                entries.append(struct.pack("<HHII", tag, typ, count, ext_offset))
+                ext_chunks.append(value)
+                ext_offset += len(value)
+        else:
+            entries.append((tag, typ, count, value))  # patched numeric below
+    data_offset = ext_offset
     out = io.BytesIO()
     out.write(struct.pack("<2sHI", b"II", 42, ifd_offset))
     out.write(struct.pack("<H", n))
-    for tag, typ, count, value in tags:
-        if tag == _T_STRIP_OFFSETS:
-            value = data_offset
-        out.write(struct.pack("<HHII", tag, typ, count, value))
+    for e in entries:
+        if isinstance(e, bytes):
+            out.write(e)
+        else:
+            tag, typ, count, value = e
+            if tag == _T_STRIP_OFFSETS:
+                value = data_offset
+            out.write(struct.pack("<HHII", tag, typ, count, value))
     out.write(struct.pack("<I", 0))  # next IFD
+    for chunk in ext_chunks:
+        out.write(chunk)
     out.write(pixel_bytes)
     return out.getvalue()
 
 
-def decode_tiff(buf: bytes) -> np.ndarray:
-    """Decode the baseline TIFF subset written by :func:`encode_tiff`."""
+def _parse_tiff_tags(buf: bytes) -> dict[int, tuple[int, int, int]]:
     order, magic, ifd_offset = struct.unpack_from("<2sHI", buf, 0)
     if order != b"II" or magic != 42:
         raise ValueError("not a little-endian TIFF")
     (n,) = struct.unpack_from("<H", buf, ifd_offset)
-    tags: dict[int, int] = {}
+    tags: dict[int, tuple[int, int, int]] = {}
     for i in range(n):
-        tag, _typ, _count, value = struct.unpack_from("<HHII", buf, ifd_offset + 2 + i * 12)
-        if tag in (_T_WIDTH, _T_HEIGHT):
-            value &= 0xFFFF
-        elif tag in (_T_BITS, _T_COMPRESSION, _T_SAMPLE_FORMAT):
-            value &= 0xFFFF
-        tags[tag] = value
-    w, h = tags[_T_WIDTH], tags[_T_HEIGHT]
-    bits = tags.get(_T_BITS, 8)
-    sfmt = tags.get(_T_SAMPLE_FORMAT, _SF_UINT)
-    if tags.get(_T_COMPRESSION, 1) != 1:
+        tag, typ, count, value = struct.unpack_from("<HHII", buf, ifd_offset + 2 + i * 12)
+        tags[tag] = (typ, count, value)
+    return tags
+
+
+def _tag_scalar(tags, tag, default=None):
+    if tag not in tags:
+        return default
+    typ, count, value = tags[tag]
+    if _TYPE_SIZES[typ] * count <= 4 and typ == 3:
+        return value & 0xFFFF
+    return value
+
+
+def _tag_data(buf: bytes, tags, tag) -> bytes | None:
+    if tag not in tags:
+        return None
+    typ, count, value = tags[tag]
+    size = _TYPE_SIZES[typ] * count
+    if size <= 4:
+        # value field holds the bytes inline (stored little-endian)
+        return struct.pack("<I", value)[:size]
+    return buf[value:value + size]
+
+
+def decode_tiff(buf: bytes) -> np.ndarray:
+    """Decode pixel data from the baseline TIFF subset."""
+    tags = _parse_tiff_tags(buf)
+    w = _tag_scalar(tags, _T_WIDTH)
+    h = _tag_scalar(tags, _T_HEIGHT)
+    bits = _tag_scalar(tags, _T_BITS, 8)
+    sfmt = _tag_scalar(tags, _T_SAMPLE_FORMAT, _SF_UINT)
+    if _tag_scalar(tags, _T_COMPRESSION, 1) != 1:
         raise ValueError("compressed TIFF not supported")
-    off = tags[_T_STRIP_OFFSETS]
-    count = tags[_T_STRIP_BYTE_COUNTS]
+    off = _tag_scalar(tags, _T_STRIP_OFFSETS)
+    count = _tag_scalar(tags, _T_STRIP_BYTE_COUNTS)
     dtype = np.float32 if (bits == 32 and sfmt == _SF_IEEEFP) else np.uint8
     return np.frombuffer(buf, dtype=dtype, count=count // np.dtype(dtype).itemsize, offset=off).reshape(h, w)
+
+
+def decode_geotiff_meta(buf: bytes) -> dict:
+    """Parse GeoTIFF metadata: the engine analog of rasterio's
+    ``dataset.transform`` / ``.crs`` / ``.nodata`` / dimensions
+    (test.py:291-298). Returns dict(w, h, transform, crs, nodata)."""
+    tags = _parse_tiff_tags(buf)
+    out: dict = {
+        "w": _tag_scalar(tags, _T_WIDTH),
+        "h": _tag_scalar(tags, _T_HEIGHT),
+        "transform": None, "crs": None, "nodata": None,
+    }
+    scale = _tag_data(buf, tags, _T_MODEL_PIXEL_SCALE)
+    tie = _tag_data(buf, tags, _T_MODEL_TIEPOINT)
+    if scale and tie:
+        sx, sy, _sz = struct.unpack("<3d", scale)
+        _i, _j, _k, x0, y0, _z0 = struct.unpack("<6d", tie[:48])
+        out["transform"] = (sx, 0.0, x0, 0.0, -sy, y0)
+    geo = _tag_data(buf, tags, _T_GEO_KEYS)
+    if geo:
+        shorts = struct.unpack(f"<{len(geo) // 2}H", geo)
+        nkeys = shorts[3]
+        for k in range(nkeys):
+            kid, _loc, _cnt, val = shorts[4 + 4 * k: 8 + 4 * k]
+            if kid == _GK_GEOGRAPHIC_TYPE and val == 4326:
+                out["crs"] = "EPSG:4326"
+            elif kid == _GK_PROJECTED_TYPE:
+                out["crs"] = f"EPSG:{val}"
+    nod = _tag_data(buf, tags, _T_GDAL_NODATA)
+    if nod:
+        out["nodata"] = float(nod.split(b"\x00")[0].decode("ascii"))
+    return out
 
 
 # --- dispatch ---------------------------------------------------------------
