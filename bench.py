@@ -86,6 +86,18 @@ def main() -> None:
     t_zonal = time.perf_counter() - t0
     timings["raster_zonal_join"] = round(t_zonal, 3)
     total += t_zonal
+
+    # the scale-shaped fused variants (partial agg inside the Arrow pass)
+    t0 = time.perf_counter()
+    extract.extract_tile_partials(images, 12).count()
+    timings["raster_tile_fused"] = round(time.perf_counter() - t0, 3)
+    total += timings["raster_tile_fused"]
+
+    t0 = time.perf_counter()
+    zonal.zonal_stats_fused(images, [synth.GOLDEN_DELHI_RING], "poly_0000").count()
+    t_zf = time.perf_counter() - t0
+    timings["raster_zonal_fused"] = round(t_zf, 3)
+    total += t_zf
     images.unpersist()
     out = {
         "metric": "headline query suite wall-clock",
@@ -99,6 +111,7 @@ def main() -> None:
         "extract_rows_per_sec": int(n_pts / t_extract),
         "extract_pixels_per_sec": int(total_px / t_extract),
         "spatial_join_images_per_sec": round(n_imgs / t_zonal, 2),
+        "spatial_join_fused_images_per_sec": round(n_imgs / t_zf, 2),
     }
     print(json.dumps(out))
     spark.stop()

@@ -95,6 +95,25 @@ def test_all_nodata_images_emit_nothing(spark, images_pdf, images_sdf):
     assert empty_ids.isdisjoint(set(got["image_id"]))
 
 
+def test_windowed_read_equals_filtered_full_extract(spark, images_pdf, images_sdf):
+    """A4 windowed read: bbox pushed into the decode must equal
+    full-extract-then-filter exactly (the crop=True economy)."""
+    bbox = (77.05, 28.05, 77.3, 28.3)
+    got = extract.extract_points(images_sdf, valid_only=True, bbox=bbox).toPandas()
+    full = extract.extract_points(images_sdf, valid_only=True).toPandas()
+    want = full[
+        (full.longitude >= bbox[0]) & (full.longitude <= bbox[2])
+        & (full.latitude >= bbox[1]) & (full.latitude <= bbox[3])
+    ]
+    got_f = got[
+        (got.longitude >= bbox[0]) & (got.longitude <= bbox[2])
+        & (got.latitude >= bbox[1]) & (got.latitude <= bbox[3])
+    ]
+    _compare(got_f.copy(), want.copy())
+    # the window really pruned work: superset of the bbox, subset of full
+    assert len(want) <= len(got) < len(full)
+
+
 def test_analyze_bounds_match_oracle(spark, images_pdf, images_sdf):
     pts = extract.extract_points(images_sdf, valid_only=True)
     got = extract.analyze_images(pts).toPandas().set_index("image_id").sort_index()

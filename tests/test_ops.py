@@ -102,6 +102,17 @@ class TestSimilarity:
             sub = got[got["query_id"] == ids[qi]].sort_values("rank")
             assert list(zip(sub["neighbor_id"], sub["cos_e6"])) == want
 
+    def test_ivf_topk_scores_are_correct_for_returned_pairs(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        got = similarity.ivf_topk(emb, k=3).toPandas()
+        assert (got.groupby("query_id")["rank"].min() == 1).all()
+        assert set(got["query_id"]) == set(r[0] for r in emb.select("vec_id").collect())
+        pdf = emb.toPandas().set_index("vec_id")
+        for _, r in got.head(20).iterrows():
+            a = np.floor(np.asarray(pdf.loc[r["query_id"], "embedding"], dtype=np.float64) * 1000).astype(np.int64)
+            b = np.floor(np.asarray(pdf.loc[r["neighbor_id"], "embedding"], dtype=np.float64) * 1000).astype(np.int64)
+            assert r["dot_q"] == int(a @ b)
+
     def test_lsh_topk_scores_are_correct_for_returned_pairs(self, spark):
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         got = similarity.lsh_topk(emb, k=3).toPandas()

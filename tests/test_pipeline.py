@@ -184,6 +184,54 @@ class TestStreaming:
         out = incremental.windowed_event_counts(ev).toPandas()
         assert out["n"].sum() == ev.count()
 
+    def test_stateful_sessionization(self, spark, tmp_path):
+        """applyInPandasWithState gap sessionizer: session event counts
+        must cover every event exactly once (closed + running)."""
+        import shutil
+
+        ev_dir = tmp_path / "events"
+        ev_dir.mkdir()
+        shutil.copy("/root/testdata/sf0.001/events.parquet", ev_dir / "events.parquet")
+        ev_path = "/root/testdata/sf0.001/events.parquet"
+        out = str(tmp_path / "sessions")
+        q = incremental.sessionize_stateful(
+            spark, str(ev_dir), out, str(tmp_path / "ck"), gap_seconds=1800
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(out).toPandas()
+        ev = spark.read.parquet(ev_path).toPandas()
+        assert set(got["user_id"]) == set(ev["user_id"])
+        # every event lands in exactly one session (closed or final running)
+        assert got["n_events"].sum() == len(ev)
+        # sessions respect the gap: recompute via pandas oracle for one user
+        import pandas as pd
+
+        u = int(ev["user_id"].iloc[0])
+        ts = ev[ev.user_id == u].sort_values("ts")["ts"]
+        gaps = (ts.diff() > pd.Timedelta(seconds=1800)).sum()
+        assert len(got[got.user_id == u]) == gaps + 1
+
+
+class TestFusedOperators:
+    def test_tile_partials_equal_row_path(self, spark, points_sdf):
+        from tiff_to_geojson_csv_json_format_converter_spark.operators import extract as ex
+
+        images = synth.images_df(spark, "xs")
+        fused = ex.extract_tile_partials(images, 12).toPandas().sort_values("tile_id").reset_index(drop=True)
+        unf = tiling.tile_histogram(points_sdf, 12).toPandas().sort_values("tile_id").reset_index(drop=True)
+        assert fused["tile_id"].tolist() == unf["tile_id"].tolist()
+        assert fused["n_points"].tolist() == unf["n_points"].tolist()
+
+    def test_zonal_fused_equals_row_path(self, spark, points_sdf):
+        images = synth.images_df(spark, "xs")
+        zf = zonal.zonal_stats_fused(images, [synth.GOLDEN_DELHI_RING], "p").toPandas().sort_values(["image_id", "band"]).reset_index(drop=True)
+        zu = zonal.zonal_stats(points_sdf, [synth.GOLDEN_DELHI_RING], "p").toPandas().sort_values(["image_id", "band"]).reset_index(drop=True)
+        assert zf["count"].tolist() == zu["count"].tolist()
+        np.testing.assert_array_equal(zf["min"].to_numpy(), zu["min"].to_numpy())
+        np.testing.assert_array_equal(zf["max"].to_numpy(), zu["max"].to_numpy())
+        np.testing.assert_allclose(zf["mean"].to_numpy(), zu["mean"].to_numpy(), rtol=1e-12)
+        np.testing.assert_allclose(zf["std_pop"].to_numpy(), zu["std_pop"].to_numpy(), rtol=1e-7, atol=1e-9)
+
 
 class TestSinks:
     def test_geojson_feature_matches_reference_json(self, spark, points_sdf):

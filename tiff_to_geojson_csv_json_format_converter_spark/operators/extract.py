@@ -64,8 +64,15 @@ def _extract_image(
     sample_cap: int | None,
     geojson_cap: int | None,
     round_output: bool,
+    window: tuple | None = None,
 ):
-    """Yield (image_id, band, pixel_idx, lon, lat, z) numpy column sets."""
+    """Yield (image_id, band, pixel_idx, lon, lat, z) numpy column sets.
+
+    ``window=(row0, row1, col0, col1)`` restricts extraction to a pixel
+    window (half-open) — the windowed-read operator (SURVEY.md A4,
+    test2.py:1322-1338's pixel-window clip): only the window's pixels
+    are transformed, the reference's crop=True economy.
+    """
     grid = codecs.decode(buf, fmt, w, h * band_count).reshape(band_count, h, w)
     total = h * w
     if sample_cap is not None and total > sample_cap:
@@ -73,6 +80,11 @@ def _extract_image(
     else:
         rate = 1
     idx = np.arange(0, total, rate, dtype=np.int64)
+    if window is not None:
+        r0, r1, c0, c1 = (int(v) for v in window)
+        wr = idx // w
+        wc = idx % w
+        idx = idx[(wr >= r0) & (wr < r1) & (wc >= c0) & (wc < c1)]
     if geojson_cap is not None and len(idx) > geojson_cap:
         geo_rate = len(idx) // geojson_cap  # doesSamples.py:146-148
         idx = idx[np.arange(0, len(idx), geo_rate)]
@@ -107,17 +119,39 @@ def extract_points(
     sample_cap: int | None = None,
     geojson_cap: int | None = None,
     round_output: bool = True,
+    bbox: tuple | None = None,
 ):
     """images DataFrame -> points DataFrame (POINTS_SCHEMA).
 
     ``valid_only=False`` is the reference's ``force_extract`` switch
     (pyc ``extract_elevation_data(..., force_extract, sample_rate)``).
     ``sample_cap``/``geojson_cap`` give the doesSamples.py stride caps.
+    ``bbox=(min_lon, min_lat, max_lon, max_lat)`` pushes a windowed read
+    into the decode (SURVEY.md A4): each image computes only the pixel
+    window its transform maps into the bbox (half-pixel padded, so the
+    result is exactly full-extract-then-filter).
     """
     cols = [
         "image_id", "bytes", "w", "h", "fmt", "transform", "crs", "band_count",
     ]
     src = images_df.select(*cols)
+
+    def _window_for(transform, crs, w, h):
+        if bbox is None:
+            return None
+        from ..functions import affine as _affine
+        from ..functions import projection as _projection
+
+        min_lon, min_lat, max_lon, max_lat = bbox
+        lons = np.array([min_lon, max_lon, min_lon, max_lon])
+        lats = np.array([min_lat, min_lat, max_lat, max_lat])
+        xs, ys = _projection.from_wgs84(lons, lats, crs)
+        rr, cc = _affine.world_to_pixel(transform, xs, ys)
+        r0 = max(0, int(np.floor(rr.min() - 0.5)))
+        r1 = min(h, int(np.ceil(rr.max() + 1.5)))
+        c0 = max(0, int(np.floor(cc.min() - 0.5)))
+        c1 = min(w, int(np.ceil(cc.max() + 1.5)))
+        return (r0, r1, c0, c1)
 
     def run(batches: Iterator) -> Iterator:
         import pyarrow as pa
@@ -149,11 +183,12 @@ def extract_points(
         for batch in batches:
             tbl = batch.to_pydict()
             for j in range(batch.num_rows):
+                win = _window_for(tbl["transform"][j], tbl["crs"][j], tbl["w"][j], tbl["h"][j])
                 for band, bi, bl, bb, bz in _extract_image(
                     tbl["image_id"][j], tbl["bytes"][j], tbl["w"][j], tbl["h"][j],
                     tbl["fmt"][j], tbl["transform"][j], tbl["crs"][j],
                     tbl["band_count"][j], valid_only, sample_cap, geojson_cap,
-                    round_output,
+                    round_output, window=win,
                 ):
                     n = len(bi)
                     if n == 0:

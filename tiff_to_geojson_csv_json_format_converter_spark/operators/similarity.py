@@ -97,6 +97,76 @@ def cosine_pairs(df: DataFrame, threshold_e6: int = 950_000, id_col: str = "vec_
     )
 
 
+def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+             kmeans_iters: int = 3) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: vectors are assigned to the
+    nearest of ``n_centroids`` coarse centroids (a few seeded Lloyd
+    iterations, driver-side on a sample — deterministic); each query
+    probes its ``n_probe`` nearest centroid lists and exact-reranks only
+    those candidates. The scale path: candidate generation is an
+    equi-join on centroid id; list sizes bound the fan-out.
+    """
+    import numpy as np
+
+    sample = df.select(id_col, vec_col).limit(4096).toPandas()
+    V = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = V[rng.choice(len(V), size=min(n_centroids, len(V)), replace=False)]
+    for _ in range(kmeans_iters):  # spherical k-means, deterministic
+        assign = np.argmax(V @ C.T, axis=1)
+        for c in range(len(C)):
+            m = V[assign == c]
+            if len(m):
+                mean = m.mean(axis=0)
+                C[c] = mean / max(np.linalg.norm(mean), 1e-12)
+    spark = df.sparkSession
+    b_C = spark.sparkContext.broadcast(C)
+
+    def assign_centroid(batches):
+        CC = b_C.value
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sims = Xn @ CC.T
+            order = np.argsort(-sims, axis=1)
+            rows = []
+            for i, vid in enumerate(pdf[id_col]):
+                rows.append((int(vid), int(order[i, 0]), [int(c) for c in order[i, :n_probe]]))
+            yield pd.DataFrame(rows, columns=["id", "list_id", "probe_lists"])
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign_centroid, "id long, list_id int, probe_lists array<int>"
+    )
+    corpus = assigned.select(F.col("id").alias("neighbor_id"), F.col("list_id"))
+    probes = assigned.select(F.col("id").alias("query_id"), F.explode("probe_lists").alias("list_id"))
+    cand = (
+        probes.join(corpus, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
+    )
+    qdf = with_quantized(df, vec_col).select(F.col(id_col).alias("id"), "qvec", "qnorm2")
+    qa = qdf.select(F.col("id").alias("query_id"), F.col("qvec").alias("va"), F.col("qnorm2").alias("na"))
+    qb = qdf.select(F.col("id").alias("neighbor_id"), F.col("qvec").alias("vb"), F.col("qnorm2").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v)
+    scored = (
+        cand.join(qa, "query_id").join(qb, "neighbor_id")
+        .withColumn("dot_q", dot)
+        .withColumn(
+            "cos_e6",
+            F.floor(F.col("dot_q").cast("double") / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")) * 1e6).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_e6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "cos_e6", "rank")
+    )
+
+
 def lsh_topk(df: DataFrame, k: int = 5, n_planes: int = 16, id_col: str = "vec_id",
              vec_col: str = "embedding", dim: int = 64, seed: int = 42,
              n_tables: int = 4) -> DataFrame:

@@ -867,6 +867,29 @@ def q_embed_neardup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @_register(
+    "distinct_values",
+    f"""
+    WITH pts AS ({_PTS_SQL})
+    SELECT image_id,
+           CAST(COUNT(DISTINCT CAST(z AS BIGINT)) AS BIGINT) AS n_distinct,
+           CAST(MIN(CAST(z AS BIGINT)) AS BIGINT) AS min_v,
+           CAST(MAX(CAST(z AS BIGINT)) AS BIGINT) AS max_v
+    FROM pts WHERE valid GROUP BY image_id
+    """,
+)
+def q_distinct_values(spark, sf_dir):
+    """E6: unique-value probe (the reference's np.unique diagnostics,
+    test2.py:1006-1021) as exact distinct aggregation."""
+    pts = _pts(spark, sf_dir).filter("valid")
+    zl = F.col("z").cast("long")
+    return pts.groupBy("image_id").agg(
+        F.countDistinct(zl).alias("n_distinct"),
+        F.min(zl).alias("min_v"),
+        F.max(zl).alias("max_v"),
+    )
+
+
+@_register(
     "events_hourly",
     """
     SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
@@ -950,6 +973,37 @@ def q_ann_lsh_topk(spark, sf_dir):
     """Similarity/LSH: random-hyperplane buckets -> exact re-rank."""
     emb = _load(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, k=5)
+
+
+@_register("ann_ivf_topk")
+def q_ann_ivf_topk(spark, sf_dir):
+    """Similarity/IVF: spherical-kmeans coarse lists -> probe -> exact
+    re-rank (the other ANN scale path besides LSH)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, k=5)
+
+
+@_register("stateful_sessions")
+def q_stateful_sessions(spark, sf_dir):
+    """Custom stateful streaming (applyInPandasWithState gap sessionizer)
+    run to completion via AvailableNow; returns the session table.
+    Non-SQL-expressible (stateful streaming) -> rows-only check."""
+    import shutil
+    import tempfile
+
+    from ..streaming import incremental
+
+    d = tempfile.mkdtemp(prefix="sess_")
+    import os
+
+    ev_dir = f"{d}/events"
+    os.makedirs(ev_dir, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{ev_dir}/events.parquet")
+    q = incremental.sessionize_stateful(
+        spark, ev_dir, f"{d}/out", f"{d}/ck", gap_seconds=1800
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{d}/out")
 
 
 @_register("media_features")

@@ -37,6 +37,13 @@ def get_spark(
         "spark.sql.shuffle.partitions": str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+        # JVM<->Python pipelining: cap batches by BYTES, not just records.
+        # Image rows are ~0.1-1 MB; the 64 MB default turns a whole input
+        # partition into one batch, serializing producer and consumer
+        # (measured 5-10x wall-clock loss on 16-32 cores). 4 MB keeps
+        # ~30 image rows or ~90k point rows per batch — streaming overlap
+        # for both row shapes.
+        "spark.sql.execution.arrow.maxBytesPerBatch": "4m",
         "spark.sql.parquet.compression.codec": "zstd",
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.sql.session.timeZone": "UTC",

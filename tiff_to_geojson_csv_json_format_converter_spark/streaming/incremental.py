@@ -49,6 +49,89 @@ def incremental_extract(
     )
 
 
+def sessionize_stateful(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint: str,
+    gap_seconds: int = 1800,
+):
+    """Custom stateful streaming operator: gap-based sessionization per
+    user via ``applyInPandasWithState`` (the engine's demonstration of
+    arbitrary stateful processing — the reference has no streaming, so
+    this is a first-class engine extension, SURVEY.md §G).
+
+    State per user: (session_start, last_ts, n_events, sum_cents).
+    An event more than ``gap_seconds`` after the previous one closes the
+    session (emitted with closed=true) and opens a new one; at the end
+    of every batch the still-open session is emitted as a closed=false
+    snapshot (so each event is counted exactly once per run: closed
+    sessions + final snapshots partition the events). No timeout is
+    used: with Trigger.AvailableNow a processing-time timeout would keep
+    scheduling state-cleanup batches and the query would never drain.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(events_path)
+    )
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_cents long, closed boolean"
+    )
+    state_schema = "start long, last long, n long, cents long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        rows = []
+        start = last = n = cents = None
+        if state.exists:
+            start, last, n, cents = state.get
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for r in pdf.itertuples(index=False):
+                ts_us = int(pd.Timestamp(r.ts).value // 1000)
+                c = int(r.value * 100.0 // 1)
+                if start is None:
+                    start, last, n, cents = ts_us, ts_us, 1, c
+                elif ts_us - last > gap_seconds * 1_000_000:
+                    rows.append((user_id, start, last, n, cents, True))
+                    start, last, n, cents = ts_us, ts_us, 1, c
+                else:
+                    last = ts_us
+                    n += 1
+                    cents += c
+        if start is not None:
+            state.update((start, last, n, cents))
+            rows.append((user_id, start, last, n, cents, False))  # running session snapshot
+        if rows:
+            yield pd.DataFrame([{
+                "user_id": u,
+                "session_start": pd.Timestamp(s, unit="us"),
+                "session_end": pd.Timestamp(e, unit="us"),
+                "n_events": k, "sum_cents": cc, "closed": cl,
+            } for (u, s, e, k, cc, cl) in rows])
+
+    # "append" output: the parquet sink only supports append; each batch
+    # appends closed sessions plus the current running-session snapshot
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window aggregation for a streaming events
     source (works identically on a batch DataFrame for testing)."""
