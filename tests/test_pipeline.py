@@ -56,6 +56,19 @@ class TestZonal:
         resp = json.loads(zonal.stats_response(got, "slope_layer"))
         assert resp["min_max"]["band_1"] == "Null"  # sentinel contract
 
+    def test_combine_stats_reference_quirk(self, spark):
+        """E5: the reference's cross-file merge keeps the FIRST file's
+        mean/std and only widens min/max (test2.py:162-179) — reproduced
+        faithfully."""
+        rows = [
+            {"min": 10.0, "max": 50.0, "mean": 30.0, "std_pop": 5.0, "count": 100},
+            {"min": 5.0, "max": 70.0, "mean": 99.0, "std_pop": 9.0, "count": 50},
+        ]
+        out = zonal.combine_stats_reference_quirk(rows)
+        assert out["min"] == 5.0 and out["max"] == 70.0
+        assert out["mean"] == 30.0 and out["std_pop"] == 5.0  # first file kept
+        assert out["count"] == 150
+
     def test_stats_response_contract(self, spark, points_sdf):
         got = zonal.zonal_stats(points_sdf, [synth.GOLDEN_DELHI_RING], "poly_0000")
         resp = json.loads(zonal.stats_response(got.limit(1), "slope_layer"))
