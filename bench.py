@@ -51,6 +51,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the session once (JVM codegen, python workers, file listing) so
+    # per-query timings measure the queries, not cold-start constants
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+    spark.range(0, 1000, numPartitions=cpus).selectExpr("sum(id)").collect()
+
     qs = entry_queries.queries()
     timings: dict[str, float] = {}
     total = 0.0
