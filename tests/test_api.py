@@ -105,6 +105,31 @@ class TestConverter:
         assert "band_1" in resp["min_max"]
 
 
+class TestCsvByteParity:
+    def test_csv_lines_match_pandas_to_csv(self, spark, images_pdf):
+        """A7: the engine's CSV rows must byte-equal what the reference
+        writes via df.to_csv(float_format='%.6f') (doesSamples.py:101)."""
+        import io
+
+        from pyspark.sql import functions as F
+
+        from tests import oracle
+        from tiff_to_geojson_csv_json_format_converter_spark.operators import extract, sinks
+
+        one = images_pdf[images_pdf["image_id"] == "img_00000000"]
+        sdf = synth.images_df(spark, "xs").filter(F.col("image_id") == "img_00000000")
+        pts = extract.extract_points(sdf, valid_only=True).filter("band = 0")
+        got = [r[0] for r in pts.orderBy("pixel_idx").select(sinks.csv_line_col()).collect()]
+        want_pts = oracle.extract_points(one, valid_only=True)
+        want_pts = want_pts[want_pts["band"] == 0].sort_values("pixel_idx")
+        buf = io.StringIO()
+        want_pts[["longitude", "latitude", "elevation"]].to_csv(
+            buf, index=False, float_format="%.6f", header=False
+        )
+        want = buf.getvalue().splitlines()
+        assert got == want
+
+
 class TestCli:
     def test_cli_analyze_synthetic(self, spark, capsys):
         # reuse the running session via getOrCreate inside the CLI
