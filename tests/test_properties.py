@@ -66,6 +66,10 @@ def test_pip_convex_polygon_matches_halfplane(data):
     angles = np.sort(data.draw(st.lists(
         st.floats(min_value=0.0, max_value=2 * np.pi - 0.01),
         min_size=n, max_size=n, unique=True)))
+    # drop near-duplicate angles: a (numerically) zero-length edge makes
+    # both the ray-cast and the half-plane oracle ill-defined
+    keep = np.concatenate([[True], np.diff(angles) > 1e-3])
+    angles = angles[keep]
     if len(angles) < 3:
         return
     cx, cy = 10.0, 20.0
