@@ -58,8 +58,8 @@ class TestZonal:
 
     def test_combine_stats_reference_quirk(self, spark):
         """E5: the reference's cross-file merge keeps the FIRST file's
-        mean/std and only widens min/max (test2.py:162-179) — reproduced
-        faithfully."""
+        mean/std/count and only widens min/max (test2.py:162-179 — the
+        merge branch touches nothing else) — reproduced faithfully."""
         rows = [
             {"min": 10.0, "max": 50.0, "mean": 30.0, "std_pop": 5.0, "count": 100},
             {"min": 5.0, "max": 70.0, "mean": 99.0, "std_pop": 9.0, "count": 50},
@@ -67,7 +67,7 @@ class TestZonal:
         out = zonal.combine_stats_reference_quirk(rows)
         assert out["min"] == 5.0 and out["max"] == 70.0
         assert out["mean"] == 30.0 and out["std_pop"] == 5.0  # first file kept
-        assert out["count"] == 150
+        assert out["count"] == 100  # first file's count kept, not summed
 
     def test_stats_response_contract(self, spark, points_sdf):
         got = zonal.zonal_stats(points_sdf, [synth.GOLDEN_DELHI_RING], "poly_0000")

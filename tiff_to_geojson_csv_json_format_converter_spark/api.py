@@ -142,10 +142,14 @@ class Converter:
         rings = geometry.normalize_geometry(geometry_obj)
         pts = extract.extract_points(self.images, valid_only=True)
         stats = zonal.zonal_stats(pts, rings, layer_name)
+        # reference merge quirk (test2.py:162-179): keep the FIRST file's
+        # mean/std/count (first in image_id order — deterministic via
+        # min_by, never F.first after a shuffle) and only widen min/max
         merged = stats.groupBy("band").agg(
             F.min("min").alias("min"), F.max("max").alias("max"),
-            F.first("mean").alias("mean"), F.first("std_pop").alias("std_pop"),
-            F.sum("count").alias("count"),
+            F.min_by("mean", "image_id").alias("mean"),
+            F.min_by("std_pop", "image_id").alias("std_pop"),
+            F.min_by("count", "image_id").alias("count"),
         )
         return zonal.stats_response(merged, layer_name)
 

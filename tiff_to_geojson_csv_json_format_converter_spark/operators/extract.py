@@ -128,8 +128,10 @@ def extract_points(
     ``sample_cap``/``geojson_cap`` give the doesSamples.py stride caps.
     ``bbox=(min_lon, min_lat, max_lon, max_lat)`` pushes a windowed read
     into the decode (SURVEY.md A4): each image computes only the pixel
-    window its transform maps into the bbox (half-pixel padded, so the
-    result is exactly full-extract-then-filter).
+    window its transform maps into the bbox (half-pixel padded), then a
+    final inclusive lon/lat bbox mask is applied to the (rounded) output
+    — so the result IS exactly full-extract-then-filter, with the window
+    only an economy.
     """
     cols = [
         "image_id", "bytes", "w", "h", "fmt", "transform", "crs", "band_count",
@@ -190,6 +192,13 @@ def extract_points(
                     tbl["band_count"][j], valid_only, sample_cap, geojson_cap,
                     round_output, window=win,
                 ):
+                    if bbox is not None and len(bi):
+                        _mn_lon, _mn_lat, _mx_lon, _mx_lat = bbox
+                        m = (
+                            (bl >= _mn_lon) & (bl <= _mx_lon)
+                            & (bb >= _mn_lat) & (bb <= _mx_lat)
+                        )
+                        bi, bl, bb, bz = bi[m], bl[m], bb[m], bz[m]
                     n = len(bi)
                     if n == 0:
                         continue

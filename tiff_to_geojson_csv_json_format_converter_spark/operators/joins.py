@@ -100,7 +100,10 @@ def knn_join(
     """
     plon, plat = point_cols
     qlon, qlat = query_cols
-    cell_w_deg = 360.0 / (1 << level)
+    # cells are 360/2^L wide but only 180/2^L tall; the ring-search
+    # guarantee must use the SMALLER dimension (a nearer point can hide in
+    # the first unsearched ring at distance max_ring * cell_h)
+    cell_min_deg = 180.0 / (1 << level)
 
     spark = points.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
@@ -148,8 +151,9 @@ def knn_join(
         .filter(F.col("knn_rank") <= k)
     )
     # exactness: kth dist must be within the guaranteed-searched radius
-    # (max_ring ring's nearest edge, conservatively (max_ring)*cell_w)
-    guard = (max_ring * cell_w_deg) ** 2
+    # (max_ring ring's nearest edge, conservatively max_ring * min(cell
+    # width, cell height) — the height is the binding dimension)
+    guard = (max_ring * cell_min_deg) ** 2
     return (
         topk.withColumn("exact", F.col("dist2") <= F.lit(guard))
         .drop("_cell", "_qlon", "_qlat")

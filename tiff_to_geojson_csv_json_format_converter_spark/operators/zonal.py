@@ -124,15 +124,15 @@ def zonal_stats_multi(points: DataFrame, polygons: list[dict]) -> DataFrame:
 
 def combine_stats_reference_quirk(stats_rows: list[dict]) -> dict:
     """The reference's cross-file merge keeps the FIRST file's mean/std
-    and only widens min/max (test2.py:162-179). Reproduced faithfully as
-    a documented quirk for contract parity."""
+    AND count, and only widens min/max (test2.py:162-179 — its merge
+    branch never touches mean/std/count). Reproduced faithfully as a
+    documented quirk for contract parity."""
     if not stats_rows:
         return {}
     combined = dict(stats_rows[0])
     for r in stats_rows[1:]:
         combined["min"] = min(combined["min"], r["min"])
         combined["max"] = max(combined["max"], r["max"])
-        combined["count"] = combined.get("count", 0) + r.get("count", 0)
     return combined
 
 
