@@ -1006,11 +1006,61 @@ def q_stateful_sessions(spark, sf_dir):
     return spark.read.parquet(f"{d}/out")
 
 
-@_register("media_features")
+def _media_oracle_sql(n: int = 64, feat_dim: int = 8) -> str:
+    """VALUES oracle for media_features: the synthetic media table and the
+    stub decoder are both deterministic, so the expected rows are computed
+    here (driver-side numpy, same code path the UDF runs) and inlined.
+    What the driver then verifies is the DISTRIBUTED plumbing: mapInPandas
+    batching, Arrow transfer, posexplode, quantization — against these
+    precomputed values."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng([7, i])
+        side = 16 + (i % 3) * 8
+        buf = rng.integers(0, 255, side * side, dtype=np.int64).astype(np.uint8).tobytes()
+        mt = ["image", "audio", "video"][i % 3]
+        fmt = "fake/gray8" if mt == "image" else ("wav" if mt == "audio" else "mp4")
+        try:
+            img = multimodal.decode_media(buf, mt, fmt)
+            edges = np.linspace(0, img.shape[0], feat_dim + 1).astype(int)
+            feats = [float(img[edges[k]:max(edges[k + 1], edges[k] + 1)].mean()) for k in range(feat_dim)]
+            ok = "TRUE"
+        except NotImplementedError:
+            feats = [0.0] * feat_dim
+            ok = "FALSE"
+        for d, v in enumerate(feats):
+            import math
+
+            rows.append(
+                f"('media_{i:05d}', CAST({d} AS INT), CAST({math.floor(v * 1e6)} AS BIGINT), "
+                f"CAST({len(buf)} AS BIGINT), {ok})"
+            )
+    return (
+        "SELECT media_id, dim, value_e6, n_bytes, ok FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS m(media_id, dim, value_e6, n_bytes, ok)"
+    )
+
+
+@_register("media_features", _media_oracle_sql())
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary decode -> pooled features (stub codec,
-    real Spark plumbing)."""
+    real Spark plumbing), exploded to scalar driver-sortable columns
+    (media_id, dim, value_e6, n_bytes, ok)."""
     from ..operators import multimodal
 
     media = multimodal.synth_media_df(spark, 64)
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", "n_bytes", "ok", F.posexplode("feature").alias("dim", "value")
+    ).select(
+        "media_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("value_e6"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "ok",
+    )
