@@ -81,3 +81,14 @@ def test_salted_repartition_plan_shuffles_on_salt(spark):
     tiled = tiling.assign_tiles(pts, 12)
     p = plan_str(tiling.salted_repartition(tiled, "cell_id", salt_buckets=4, num_partitions=8))
     assert "hashpartitioning(cell_id" in p and "_salt" in p
+
+
+def test_cosine_pairs_has_no_cartesian_product(spark):
+    """The exact near-dup pair operator must never plan a cartesian: the
+    quadratic work lives in a broadcast numpy matmul, not the shuffle."""
+    from tiff_to_geojson_csv_json_format_converter_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_str(similarity.cosine_pairs(emb, threshold_e6=400_000))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" not in p  # no join at all: broadcast matmul only

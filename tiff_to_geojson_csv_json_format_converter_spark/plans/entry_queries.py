@@ -856,8 +856,8 @@ def q_ann_brute_topk(spark, sf_dir):
     """,
 )
 def q_embed_neardup(spark, sf_dir):
-    """Similarity/near-dup: quantized-cosine pairs >= 0.4 (zip_with +
-    aggregate built-ins; crossJoin baseline — LSH is the scale path)."""
+    """Similarity/near-dup: quantized-cosine pairs >= 0.4, exact, via
+    the broadcast integer-matmul shape (no cartesian in the plan)."""
     emb = _load(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs(emb, threshold_e6=400_000)
 
