@@ -190,50 +190,66 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 5, num_hashes: int = 64, bands: in
 
 # --- SimHash -----------------------------------------------------------------
 
-def simhash_udf():
-    """64-bit SimHash over whitespace tokens with deterministic 61-bit
-    token hashes; per-bit majority vote, vectorized per batch."""
-
-    @F.pandas_udf("long")
-    def sh(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.uint64)
-        for i, text in enumerate(texts):
-            toks = (text or "").split(" ")
-            hs = np.array(
-                [_poly_hash(t) for t in toks if t], dtype=np.uint64
-            )
-            if len(hs) == 0:
-                out[i] = 0
-                continue
-            bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-            votes = bits.sum(axis=0) * 2 >= len(hs)
-            out[i] = np.sum(votes.astype(np.uint64) << np.arange(64, dtype=np.uint64))
-        return pd.Series(out.astype(np.int64))
-
-    return sh
+SIMHASH_BITS = 60  # lower 60 bits of md5 per token: engine-portable
 
 
-def _poly_hash(tok: str) -> int:
-    h = 0
-    for ch in tok.encode("utf-8", "ignore"):
-        h = (h * 1_000_003 + ch) % _P61
-    # spread to 64 bits deterministically
-    return (h * 0x9E3779B97F4A7C15) % (1 << 64)
+def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over whitespace tokens (with multiplicity), computed
+    ENTIRELY in Catalyst built-ins — no Python anywhere:
+
+        token hash   = first 15 hex chars of md5(token) -> int64 (60 bits)
+        per-bit vote = 2 * sum(bit_k over tokens) >= n_tokens
+        simhash      = sum(vote_k << k)
+
+    Plan shape: explode tokens (no shuffle) -> groupBy(doc) with 61
+    map-side-combined sums (one slim row per doc crosses the wire).
+    Token-less docs keep simhash 0 via the left join. The identical
+    computation is ANSI-SQL-expressible, so the DuckDB oracle replays
+    the whole algorithm bit-for-bit."""
+    tok = (
+        df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    )
+    aggs = [
+        F.sum(F.shiftrightunsigned(F.col("h"), k).bitwiseAND(F.lit(1))).alias(f"b{k}")
+        for k in range(SIMHASH_BITS)
+    ] + [F.count("*").alias("n_tok")]
+    votes = tok.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for k in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"b{k}") * 2 >= F.col("n_tok"), F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long"))
+    computed = votes.select(id_col, sim.alias("simhash"))
+    return df.select(id_col).join(computed, id_col, "left").na.fill({"simhash": 0})
+
+
+def _band_slices(total_bits: int, bands: int) -> list[tuple[int, int]]:
+    """Partition [0, total_bits) into ``bands`` contiguous chunks
+    (pigeonhole needs every bit covered by exactly one band)."""
+    base, extra = divmod(total_bits, bands)
+    out, lo = [], 0
+    for b in range(bands):
+        w = base + (1 if b < extra else 0)
+        out.append((lo, w))
+        lo += w
+    return out
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= r via the pigeonhole band
-    join: split 64 bits into r+1 bands; any true pair collides on >=1 band."""
+    join: split the 60 bits into r+1 bands; any pair within Hamming r
+    MUST agree exactly on >=1 band (pigeonhole THEOREM — candidate
+    recall is exactly 1, not probabilistic), so the equi-join on
+    (band, band_bits) + exact Hamming verify is an exact operator."""
     bands = max_hamming + 1
-    width = 64 // bands
-    sh = df.select(id_col, simhash_udf()(F.col(text_col)).alias("simhash"))
+    sh = with_simhash(df, id_col, text_col)
     banded = sh.select(
         id_col, "simhash",
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned("simhash", b * width).bitwiseAND(F.lit((1 << width) - 1))
-                for b in range(bands)
+                F.shiftrightunsigned("simhash", lo).bitwiseAND(F.lit((1 << w) - 1))
+                for lo, w in _band_slices(SIMHASH_BITS, bands)
             ])
         ).alias("band", "band_bits"),
     )

@@ -1,18 +1,16 @@
 """Text-analysis operators for the documents table (training-data ops).
 
-Everything here except the fingerprint UDF is pure built-in Catalyst
-expressions (whole-stage codegen, no Python in the hot path): token
-counting, quality scoring, language-ID marker scoring. The rolling-hash
-fingerprint is an Arrow-batched pandas UDF (vectorized numpy).
+EVERYTHING here is pure built-in Catalyst expressions (whole-stage
+codegen; no Python in any hot path): token counting, quality scoring,
+language-ID marker scoring, and the rolling-hash document fingerprint
+(dual 31-bit Horner chains folded with ``aggregate`` over the char
+codes — JVM-side, and exactly mirrored by the DuckDB SQL oracle).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 # fixed marker lexicons (deterministic; mirrored in the SQL oracle)
 LANG_MARKERS = {
@@ -76,27 +74,37 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", F.when(best <= 0, F.lit("und")).otherwise(pred))
 
 
-_FP_MOD = (1 << 61) - 1
-_FP_BASE = 1_000_003
+_FP_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne)
+_FP_BASES = (131, 257)  # two independent Horner chains -> 62-bit pack
 
 
-def fingerprint_udf():
-    """Rolling polynomial document fingerprint mod 2^61-1 (vectorized:
-    per-batch numpy over the char codes; Python touches batches, not rows)."""
+def _horner_col(text_col: str, base: int):
+    """One 31-bit rolling polynomial hash over the text's code points,
+    entirely in Catalyst built-ins (sequence -> transform(ascii) ->
+    aggregate). h*base+c stays < 2^39, so plain BIGINT arithmetic is
+    exact and identical in every engine. Empty text hashes to 0
+    (sequence(1,0) would be DESCENDING in Spark, hence the guard)."""
+    return F.expr(
+        f"CASE WHEN length({text_col}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"aggregate(transform(sequence(1, length({text_col})), i -> ascii(substr({text_col}, i, 1))), "
+        f"CAST(0 AS BIGINT), (h, c) -> (h * {base} + c) % {_FP_MOD}) END"
+    )
 
-    @F.pandas_udf(LongType())
-    def fp(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, s in enumerate(texts):
-            codes = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8)
-            h = 0
-            for c in codes.astype(np.uint64):
-                h = (h * _FP_BASE + int(c)) % _FP_MOD
-            out[i] = h
-        return pd.Series(out)
 
-    return fp
+def fingerprint_col(text_col: str = "text"):
+    """62-bit rolling-hash document fingerprint: two independent 31-bit
+    Horner chains (bases {131, 257}, mod 2^31-1) packed as
+    ``h1 * 2^31 + h2``. No Python anywhere — the whole computation is
+    whole-stage-codegen JVM expressions, and the identical fold is
+    expressible in ANSI SQL (the DuckDB oracle runs it via list_reduce).
+
+    Replaces the reference's per-document content hashing
+    (willOnlyStoreValidPoints.py-era dedup-by-content semantics) with an
+    order-sensitive rolling hash suitable for shard-stable dedup keys."""
+    h1 = _horner_col(text_col, _FP_BASES[0])
+    h2 = _horner_col(text_col, _FP_BASES[1])
+    return (h1 * F.lit(2_147_483_648) + h2).cast("long")
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("fingerprint", fingerprint_udf()(F.col(text_col)))
+    return df.withColumn("fingerprint", fingerprint_col(text_col))

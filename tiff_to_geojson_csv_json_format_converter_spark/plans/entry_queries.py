@@ -954,16 +954,75 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs, n=4, threshold_e6=300_000)
 
 
-@_register("simhash_pairs")
+def _duck_horner(base: int) -> str:
+    """DuckDB twin of text._horner_col: identical fold, identical BIGINT
+    arithmetic (h*base+c < 2^39 — exact in both engines)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, length(text)+1), i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(h, c) -> (h * {base} + c) % 2147483647)"
+    )
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Full SQL replay of the simhash algorithm (dedup.with_simhash +
+    pigeonhole band join): md5-60-bit token hashes, per-bit majority
+    vote, band equi-join, exact Hamming verify. Every step is integer-
+    exact, so the two engines agree bit-for-bit."""
+    nbits = dedup.SIMHASH_BITS
+    bands = dedup._band_slices(nbits, max_hamming + 1)
+    bsums = ", ".join(f"CAST(SUM((h >> {k}) & 1) AS BIGINT) AS b{k}" for k in range(nbits))
+    votes = " + ".join(
+        f"CASE WHEN b{k}*2 >= n_tok THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for k in range(nbits)
+    )
+    band_vals = ", ".join(f"({i}, {lo}, {w})" for i, (lo, w) in enumerate(bands))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents
+    ),
+    th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+    v AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, {bsums} FROM th GROUP BY doc_id),
+    sim0 AS (SELECT doc_id, ({votes}) AS simhash FROM v),
+    sim AS (
+        SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+        FROM documents d LEFT JOIN sim0 s ON s.doc_id = d.doc_id
+    ),
+    banded AS (
+        SELECT doc_id, simhash, bb.band, (simhash >> bb.lo) & ((1 << bb.w) - 1) AS band_bits
+        FROM sim, (VALUES {band_vals}) AS bb(band, lo, w)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sim_a, b.simhash AS sim_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, sim_a, sim_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+    """
+
+
+@_register("simhash_pairs", _simhash_sql(3))
 def q_simhash_pairs(spark, sf_dir):
-    """Dedup/SimHash: Hamming<=3 pairs via pigeonhole band join."""
+    """Dedup/SimHash: Hamming<=3 pairs via pigeonhole band join (exact by
+    theorem; the oracle replays the whole algorithm in SQL)."""
     docs = _load(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, max_hamming=3)
 
 
-@_register("doc_fingerprint")
+@_register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           ({_duck_horner(131)} * 2147483648 + {_duck_horner(257)}) AS fingerprint
+    FROM documents
+    """,
+)
 def q_doc_fingerprint(spark, sf_dir):
-    """Text/fingerprint: rolling polynomial hash (pandas UDF)."""
+    """Text/fingerprint: dual 31-bit rolling Horner hash packed to 62
+    bits — pure Catalyst built-ins, SQL-replayed by the oracle."""
     docs = _load(spark, sf_dir, "documents")
     return text.with_fingerprint(docs).select("doc_id", "fingerprint")
 
