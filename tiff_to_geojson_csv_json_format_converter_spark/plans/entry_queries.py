@@ -946,12 +946,50 @@ def q_raster_tile_catalog(spark, sf_dir):
     return tiling.tile_histogram(pts, level=12)
 
 
-@_register("minhash_lsh_pairs")
+_JACCARD_NOBLOCK_SQL = """
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 3, 1))) AS i
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS shingle
+        FROM pos
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+        SELECT doc_a, doc_b, n_inter,
+               sa.set_size + sb.set_size - n_inter AS n_union
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, n_inter, CAST(n_union AS BIGINT) AS n_union,
+           CAST(FLOOR(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) * 1000000.0e0) AS BIGINT) AS jaccard_e6
+    FROM scored
+    WHERE CAST(FLOOR(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) * 1000000.0e0) AS BIGINT) >= 300000
+"""
+
+
+@_register("minhash_lsh_pairs", _JACCARD_NOBLOCK_SQL)
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """Dedup/MinHash-LSH: banded signature buckets -> verified pairs
-    (approximate recall; exact-Jaccard verified, so precision = 1)."""
+    """Dedup/MinHash-LSH in its FULL-RECALL configuration (64 one-row
+    bands: a pair is a candidate iff ANY of 64 minhashes collide; for
+    J >= 0.3 the miss probability is (1-J)^64 <= 1.2e-10, and the exact
+    array_intersect verify makes precision 1) — so the output equals the
+    exact all-pairs Jaccard answer and the driver can hash-check it
+    against plain SQL. The operator's default (16 bands x 4 rows) is the
+    production S-curve at threshold 0.5; this entry hard-verifies the
+    signature/band/bucket/verify machinery end to end."""
     docs = _load(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, n=4, threshold_e6=300_000)
+    return dedup.minhash_lsh_pairs(
+        docs, n=4, num_hashes=64, bands=64, threshold_e6=300_000
+    )
 
 
 def _duck_horner(base: int) -> str:
