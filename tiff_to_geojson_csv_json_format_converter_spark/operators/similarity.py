@@ -196,31 +196,45 @@ def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
     )
 
 
+def lsh_planes_int(n_tables: int = 4, n_planes: int = 16, dim: int = 64,
+                   seed: int = 42, scale: int = 1000) -> np.ndarray:
+    """Seeded random hyperplanes, QUANTIZED to int64 (floor(p*scale)) so
+    the sign test ``qvec . plane > 0`` is exact integer arithmetic —
+    bit-reproducible across engines (the DuckDB oracle replays the whole
+    LSH algorithm from these same literals)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+    return np.floor(planes * scale).astype(np.int64)
+
+
 def lsh_topk(df: DataFrame, k: int = 5, n_planes: int = 16, id_col: str = "vec_id",
              vec_col: str = "embedding", dim: int = 64, seed: int = 42,
              n_tables: int = 4) -> DataFrame:
     """Approximate top-k: random-hyperplane signatures (n_tables
-    independent tables of n_planes bits), candidates = bucket collisions
-    in any table, exact quantized-cosine re-rank. Recall grows with
-    n_tables; all joins are equi-joins on (table, bucket)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_tables, n_planes, dim))
+    independent tables of n_planes bits, integer-quantized planes x
+    integer-quantized vectors — fully deterministic), candidates =
+    bucket collisions in any table, exact quantized-cosine re-rank.
+    Recall grows with n_tables; all joins are equi-joins on
+    (table, bucket)."""
+    planes = lsh_planes_int(n_tables, n_planes, dim, seed)
     spark = df.sparkSession
     b_planes = spark.sparkContext.broadcast(planes)
 
     def buckets(batches):
         P = b_planes.value
         for pdf in batches:
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
             rows = []
             for t in range(P.shape[0]):
-                bits = (V @ P[t].T) > 0
-                vals = (bits.astype(np.uint64) << np.arange(P.shape[1], dtype=np.uint64)).sum(axis=1)
+                bits = (V @ P[t].T) > 0  # exact int64 dot
+                vals = (bits.astype(np.int64) << np.arange(P.shape[1], dtype=np.int64)).sum(axis=1)
                 for i, vid in enumerate(pdf[id_col]):
                     rows.append((int(vid), t, int(vals[i])))
             yield pd.DataFrame(rows, columns=["id", "table", "bucket"])
 
-    sig = df.select(id_col, vec_col).mapInPandas(buckets, "id long, table int, bucket long")
+    sig = with_quantized(df, vec_col).select(id_col, "qvec").mapInPandas(
+        buckets, "id long, table int, bucket long"
+    )
     a = sig.select(F.col("id").alias("query_id"), "table", "bucket")
     b = sig.select(F.col("id").alias("neighbor_id"), "table", "bucket")
     cand = (

@@ -796,9 +796,7 @@ def q_token_count(spark, sf_dir):
 _QVEC_SQL = "list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000.0) AS BIGINT))"
 
 
-@_register(
-    "ann_brute_topk",
-    f"""
+_BRUTE_TOPK_SQL = f"""
     WITH q AS (
         SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings
     ),
@@ -825,8 +823,10 @@ _QVEC_SQL = "list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000.
     )
     SELECT query_id, neighbor_id, dot_q, cos_e6, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 5
-    """,
-)
+    """
+
+
+@_register("ann_brute_topk", _BRUTE_TOPK_SQL)
 def q_ann_brute_topk(spark, sf_dir):
     """Similarity/brute-force: exact quantized-cosine top-5 per vector
     (broadcast corpus + per-batch numpy matmul)."""
@@ -1065,19 +1065,79 @@ def q_doc_fingerprint(spark, sf_dir):
     return text.with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
-@_register("ann_lsh_topk")
+def _lsh_topk_sql(k: int = 5, n_tables: int = 4, n_planes: int = 16, dim: int = 64) -> str:
+    """Full SQL replay of the LSH-ANN algorithm: the hyperplanes are
+    seeded and integer-quantized (similarity.lsh_planes_int), the sign
+    test and the cosine re-rank are exact integer/IEEE-identical
+    expressions, so both engines compute the SAME approximate result —
+    the oracle checks the algorithm, not just its aspiration."""
+    import numpy as np  # noqa: F401  (planes literal generation)
+
+    from ..operators.similarity import lsh_planes_int
+
+    P = lsh_planes_int(n_tables, n_planes, dim)
+    vals = ", ".join(
+        f"({t}, {j}, [{', '.join(str(int(v)) for v in P[t, j])}])"
+        for t in range(n_tables)
+        for j in range(n_planes)
+    )
+    return f"""
+    WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+    planes(t, j, p) AS (VALUES {vals}),
+    sig AS (
+        SELECT q.vec_id, planes.t,
+               CAST(SUM(CASE WHEN list_dot_product(
+                        list_transform(q.qv, v -> CAST(v AS DOUBLE)),
+                        list_transform(planes.p, v -> CAST(v AS DOUBLE))) > 0
+                   THEN (1 << planes.j) ELSE 0 END) AS BIGINT) AS bucket
+        FROM q, planes GROUP BY q.vec_id, planes.t
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    qn AS (
+        SELECT vec_id, qv,
+               CAST(list_dot_product(list_transform(qv, v -> CAST(v AS DOUBLE)), list_transform(qv, v -> CAST(v AS DOUBLE))) AS BIGINT) AS n2
+        FROM q
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               CAST(list_dot_product(list_transform(a.qv, v -> CAST(v AS DOUBLE)), list_transform(b.qv, v -> CAST(v AS DOUBLE))) AS BIGINT) AS dot_q,
+               a.n2 AS na, b.n2 AS nb
+        FROM cand c JOIN qn a ON a.vec_id = c.query_id JOIN qn b ON b.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, dot_q,
+               CAST(FLOOR(CAST(dot_q AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS cos_e6,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(FLOOR(CAST(dot_q AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000.0e0) AS BIGINT) DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, dot_q, cos_e6, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@_register("ann_lsh_topk", _lsh_topk_sql())
 def q_ann_lsh_topk(spark, sf_dir):
-    """Similarity/LSH: random-hyperplane buckets -> exact re-rank."""
+    """Similarity/LSH: random-hyperplane buckets -> exact re-rank. The
+    planes are integer-quantized and seeded, so the DuckDB oracle
+    replays the full algorithm bit-for-bit (hard-verifying the bucket
+    join + re-rank machinery, approximation included)."""
     emb = _load(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, k=5)
 
 
-@_register("ann_ivf_topk")
+@_register("ann_ivf_topk", _BRUTE_TOPK_SQL)
 def q_ann_ivf_topk(spark, sf_dir):
-    """Similarity/IVF: spherical-kmeans coarse lists -> probe -> exact
-    re-rank (the other ANN scale path besides LSH)."""
+    """Similarity/IVF in its EXHAUSTIVE-PROBE exact mode (n_probe =
+    n_centroids): every list is probed, so the assignment/probe-join/
+    re-rank machinery must reproduce the exact brute-force top-k — the
+    oracle is the plain SQL exhaustive scan. Production uses n_probe <<
+    n_centroids (recall pytest-tested); this entry hard-verifies the
+    operator end to end."""
     emb = _load(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, k=5)
+    return similarity.ivf_topk(emb, k=5, n_centroids=16, n_probe=16)
 
 
 @_register("stateful_sessions")
