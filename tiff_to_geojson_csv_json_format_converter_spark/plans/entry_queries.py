@@ -633,6 +633,50 @@ def q_csv_format(spark, sf_dir):
 
 
 @_register(
+    "compressed_csv_lines",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    c AS (
+        SELECT point_id,
+               CAST(FLOOR(lon * 100.0e0 + 0.5e0) AS BIGINT) AS lc,
+               CAST(FLOOR(lat * 100.0e0 + 0.5e0) AS BIGINT) AS bc,
+               CAST(FLOOR(z * 100.0e0 + 0.5e0) AS BIGINT) AS zc
+        FROM pts WHERE image_id = 2
+    )
+    SELECT point_id,
+           printf('%d.%02d,%d.%02d,%d.%02d', lc // 100, lc % 100, bc // 100, bc % 100, zc // 100, zc % 100) AS csv_line
+    FROM c
+    """,
+)
+def q_compressed_csv_lines(spark, sf_dir):
+    """A9: the compressed sink's x,y,z 2-dp row formatting
+    (thiswillcompress.py:59-71, to_csv float_format='%.2f') — ALL pixels,
+    no validity filter (the compressed path never filters NoData).
+
+    Cross-engine note: printf('%.2f') is NOT portable — Java rounds the
+    double's shortest decimal repr HALF_UP while C rounds the exact
+    binary value — so this entry quantizes to integer cents (explicit
+    half-up, identical IEEE expression both sides) and assembles the
+    string from integers. The gzip/NPZ/grid envelope bytes themselves
+    are golden-tested against the reference-shaped pandas/numpy output
+    in tests/test_sinks_compressed.py."""
+    pts = _pts(spark, sf_dir).filter(F.col("image_id") == 2)
+    cents = lambda col: F.floor(F.col(col) * 100.0 + 0.5).cast("long")  # noqa: E731
+    c = pts.select(
+        "point_id", cents("lon").alias("lc"), cents("lat").alias("bc"), cents("z").alias("zc")
+    )
+    return c.select(
+        "point_id",
+        F.format_string(
+            "%d.%02d,%d.%02d,%d.%02d",
+            F.expr("lc DIV 100"), F.expr("lc % 100"),
+            F.expr("bc DIV 100"), F.expr("bc % 100"),
+            F.expr("zc DIV 100"), F.expr("zc % 100"),
+        ).alias("csv_line"),
+    )
+
+
+@_register(
     "geojson_format",
     f"""
     WITH pts AS ({_PTS_SQL}),
