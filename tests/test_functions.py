@@ -166,3 +166,56 @@ class TestSynth:
     def test_phash_stability(self):
         g = synth.make_grid(5, synth.image_params(5, 32, [16]))
         assert synth.phash64(g[0]) == synth.phash64(g[0].copy())
+
+
+class TestBufferRing:
+    """True outward offset (per-edge normal + miter join) vs the
+    documented centroid-scaling quirk — proving the quirk wrong on a
+    concave shell and the real buffer right."""
+
+    L_SHAPE = [(0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (1.0, 1.0), (1.0, 4.0), (0.0, 4.0)]
+
+    def _boundary_samples(self, ring, per_edge=25):
+        import numpy as np
+
+        r = geometry.close_ring(ring)
+        pts = []
+        for p, q in zip(r[:-1], r[1:]):
+            for t in np.linspace(0.0, 1.0, per_edge, endpoint=False):
+                pts.append(p + (q - p) * t)
+        return np.asarray(pts)
+
+    def test_buffer_contains_original_boundary_concave(self):
+        import numpy as np
+
+        buf = geometry.buffer_ring(self.L_SHAPE, 0.05)
+        s = self._boundary_samples(self.L_SHAPE)
+        inside = geometry.points_in_polygon(s[:, 0], s[:, 1], [buf])
+        assert inside.all(), f"{(~inside).sum()} boundary points escaped the buffer"
+
+    def test_centroid_quirk_fails_on_concave(self):
+        """The round-1 shortcut provably loses boundary coverage on the
+        same concave shell — this is why it is quarantined as a quirk."""
+        buf = geometry.buffer_ring_centroid_quirk(self.L_SHAPE, 0.05)
+        s = self._boundary_samples(self.L_SHAPE)
+        inside = geometry.points_in_polygon(s[:, 0], s[:, 1], [buf])
+        assert not inside.all()
+
+    def test_buffer_grows_area_convex_and_respects_orientation(self):
+        import numpy as np
+
+        square = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)]
+        for ring in (square, square[::-1]):  # CCW and CW
+            buf = geometry.buffer_ring(ring, 0.1)
+            assert abs(geometry.signed_area(buf)) > abs(geometry.signed_area(ring))
+            # offset square is the square expanded by 0.1 on each side
+            r = geometry.close_ring(buf)
+            assert np.isclose(r[:, 0].min(), -0.1) and np.isclose(r[:, 0].max(), 2.1)
+            assert np.isclose(r[:, 1].min(), -0.1) and np.isclose(r[:, 1].max(), 2.1)
+
+    def test_buffer_tiny_dist_is_near_identity(self):
+        import numpy as np
+
+        buf = geometry.buffer_ring(self.L_SHAPE, 1e-9)
+        orig = geometry.close_ring(self.L_SHAPE)
+        assert np.allclose(buf, orig, atol=1e-7)

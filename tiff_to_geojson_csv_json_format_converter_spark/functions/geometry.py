@@ -68,12 +68,62 @@ def points_in_polygon(x: np.ndarray, y: np.ndarray, rings: Sequence[Ring]) -> np
     return inside
 
 
-def buffer_ring(ring: Ring, dist: float) -> np.ndarray:
-    """Cheap outward buffer: scale each vertex away from the centroid and
-    expand the bbox — the engine analog of the reference's
-    ``polygon.buffer(0.001)`` tolerance hack (test2.py:275-277). Exact
-    Minkowski buffering is deliberately not implemented; the reference
-    only uses the buffer to absorb boundary-precision noise."""
+def signed_area(ring: Ring) -> float:
+    """Shoelace signed area: > 0 for counter-clockwise rings."""
+    r = close_ring(ring)
+    x, y = r[:, 0], r[:, 1]
+    return float(0.5 * np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def buffer_ring(ring: Ring, dist: float, miter_limit: float = 8.0) -> np.ndarray:
+    """Outward polygon offset by per-edge normal translation + miter
+    join — a true buffer for simple polygons, CONCAVE included (the
+    engine analog of the reference's ``polygon.buffer(0.001)`` tolerance
+    pad, test2.py:275-277).
+
+    Each edge line is shifted ``dist`` along its outward normal
+    (orientation from the shoelace sign); each new vertex is the
+    intersection of its two adjacent offset lines. Near-parallel /
+    reflex-spike joins beyond ``miter_limit`` fall back to the bevel
+    point (vertex + averaged normal), bounding vertex excursion the way
+    real offsetting libraries do. Not a full Minkowski buffer (no arc
+    joins, no self-intersection cleanup) — exactly enough for the
+    reference's use: absorbing boundary-precision noise, where dist is
+    tiny relative to edge lengths."""
+    r = close_ring(ring)[:-1]
+    n = len(r)
+    d = np.roll(r, -1, axis=0) - r  # edge i: r[i] -> r[i+1]
+    length = np.linalg.norm(d, axis=1, keepdims=True)
+    length[length == 0] = 1.0
+    u = d / length
+    # outward normal: right of travel for CCW rings, left for CW
+    sign = 1.0 if signed_area(ring) > 0 else -1.0
+    normals = np.stack([u[:, 1], -u[:, 0]], axis=1) * sign
+    p_off = r + normals * dist  # a point on each offset edge line
+    out = np.empty_like(r)
+    for i in range(n):
+        j = (i - 1) % n
+        # intersect offset lines of edge j (prev) and edge i (next)
+        pj, uj = p_off[j] + u[j] * 0.0, u[j]
+        pi, ui = p_off[i], u[i]
+        cross = uj[0] * ui[1] - uj[1] * ui[0]
+        miter_ok = abs(cross) > 1e-12
+        if miter_ok:
+            t = ((pi[0] - pj[0]) * ui[1] - (pi[1] - pj[1]) * ui[0]) / cross
+            cand = pj + uj * t
+            if np.linalg.norm(cand - r[i]) <= abs(dist) * miter_limit:
+                out[i] = cand
+                continue
+        nav = normals[j] + normals[i]
+        nn = np.linalg.norm(nav)
+        out[i] = r[i] + (nav / nn if nn > 1e-12 else normals[i]) * dist
+    return close_ring(out)
+
+
+def buffer_ring_centroid_quirk(ring: Ring, dist: float) -> np.ndarray:
+    """The round-1 centroid-scaling shortcut, kept as a documented quirk:
+    pushes each vertex away from the centroid. WRONG for concave shells
+    (edges near reflex corners can move inward); use ``buffer_ring``."""
     r = close_ring(ring)[:-1]
     c = r.mean(axis=0)
     v = r - c
