@@ -168,3 +168,60 @@ class TestMultimodal:
         vids = 30 // 3
         assert len(frames) == vids * 3  # 30 frames / stride 10
         assert sorted(frames["frame_idx"].unique()) == [0, 10, 20]
+
+
+class TestPatternMatching:
+    """Config-driven layer patterns (layer_pattern_manager.py parity):
+    the distributed operator must equal the reference-faithful loop."""
+
+    CONFIG = {
+        "layer_pattern_config": {
+            "location_patterns": {"delhi": ["delhi", "mosaic", "ncr"]},
+            "terrain_patterns": {"elevation": ["elevation", "dem", "mosaic"]},
+        },
+        "fallback_patterns": ["mosaic", "composite"],
+        "case_sensitive": False,
+    }
+    AVAILABLE = ["ncr_survey", "delhi_DEM", "global_mosaic", "city_composite"]
+
+    def test_operator_equals_reference_loop(self, spark):
+        from tiff_to_geojson_csv_json_format_converter_spark.operators import patterns
+
+        requests = [
+            "delhi_elevation",   # delhi pattern: 'delhi' in delhi_DEM? case-insensitive yes -> but ncr_survey (idx0) matches 'ncr' later in list; 'delhi' tried first per layer
+            "ELEVATION_map",     # terrain pattern
+            "unrelated_layer",   # fallback -> global_mosaic
+            "nothing",           # fallback -> global_mosaic
+        ]
+        df = spark.createDataFrame(
+            [(i, r) for i, r in enumerate(requests)], "req_id int, requested_layer string"
+        )
+        got = {
+            r["req_id"]: r["matched_layer"]
+            for r in patterns.match_layers(df, self.AVAILABLE, self.CONFIG).collect()
+        }
+        for i, req in enumerate(requests):
+            want = patterns.match_layer(self.CONFIG, req, self.AVAILABLE)
+            assert got.get(i) == want, f"{req}: {got.get(i)} != {want}"
+
+    def test_no_match_rows_dropped(self, spark):
+        from tiff_to_geojson_csv_json_format_converter_spark.operators import patterns
+
+        cfg = {"layer_pattern_config": {"c": {"zz": ["zz"]}}, "fallback_patterns": [],
+               "case_sensitive": False}
+        df = spark.createDataFrame([(0, "nothing")], "req_id int, requested_layer string")
+        assert patterns.match_layers(df, self.AVAILABLE, cfg).count() == 0
+        assert patterns.match_layer(cfg, "nothing", self.AVAILABLE) is None
+
+    def test_config_management_roundtrip(self):
+        from tiff_to_geojson_csv_json_format_converter_spark.operators import patterns
+
+        cfg = patterns.load_config()
+        patterns.add_pattern(cfg, "location_patterns", "pune", ["pune", "mosaic"])
+        assert patterns.match_layer(cfg, "pune_dem", ["x_pune_y"]) == "x_pune_y"
+        patterns.remove_pattern(cfg, "location_patterns", "pune")
+        patterns.remove_fallback(cfg, "mosaic")
+        patterns.remove_fallback(cfg, "composite")
+        assert patterns.match_layer(cfg, "pune_dem", ["x_pune_y"]) is None
+        patterns.add_fallback(cfg, "pune")
+        assert patterns.match_layer(cfg, "anything", ["x_pune_y"]) == "x_pune_y"

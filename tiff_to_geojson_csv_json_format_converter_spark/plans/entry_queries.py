@@ -611,6 +611,67 @@ def spark_lexicon(spark):
     )
 
 
+_PATTERN_CONFIG = {
+    "layer_pattern_config": {
+        "size_patterns": {"small": ["small", "std"], "large": ["large", "wide"]},
+        "temp_patterns": {"cold": ["cold", "ice"], "hot": ["hot", "warm"]},
+    },
+    "fallback_patterns": ["mosaic", "composite"],
+    "case_sensitive": False,
+}
+_PATTERN_LAYERS = [
+    "arctic_ice_map", "std_grid", "wide_scan", "warm_zone",
+    "global_mosaic", "city_composite", "plain_small_tile",
+]
+
+
+def _pattern_fallback_sql() -> str:
+    """SQL replay of the config-driven matcher: the same flattened
+    priority rows (operators.patterns.pattern_rows) as a VALUES table,
+    the same contains-joins, the same (group, layer, term) ordering."""
+    from ..operators import patterns as _patterns
+
+    pat_vals = ", ".join(
+        f"({g}, {t}, {'CAST(NULL AS VARCHAR)' if s is None else repr(s)}, {m!r})"
+        for g, t, s, m in _patterns.pattern_rows(_PATTERN_CONFIG)
+    )
+    avail_vals = ", ".join(f"({i}, {a!r})" for i, a in enumerate(_PATTERN_LAYERS))
+    return f"""
+    WITH pats(group_prio, term_idx, search_term, match_term) AS (VALUES {pat_vals}),
+    avail(layer_idx, layer_name) AS (VALUES {avail_vals}),
+    cand AS (
+        SELECT p.p_partkey, pats.group_prio, avail.layer_idx, pats.term_idx, avail.layer_name
+        FROM part p, pats, avail
+        WHERE (pats.search_term IS NULL OR contains(lower(p.p_name), pats.search_term))
+          AND contains(avail.layer_name, pats.match_term)
+    ),
+    ranked AS (
+        SELECT p_partkey, layer_name,
+               ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                  ORDER BY group_prio, layer_idx, term_idx, layer_name) AS rn
+        FROM cand
+    )
+    SELECT p_partkey, layer_name AS matched_layer FROM ranked WHERE rn = 1
+    """
+
+
+@_register("layer_pattern_fallback", _pattern_fallback_sql())
+def q_layer_pattern_fallback(spark, sf_dir):
+    """B13+: the CONFIG-DRIVEN pattern matcher with the fallback ladder
+    (layer_pattern_manager.py:116-154): part names that hit a configured
+    (category, search_term) resolve through its match terms in
+    available-layer order; names that hit nothing fall back to the
+    'mosaic'/'composite' ladder. One broadcast contains-join + one
+    priority aggregate."""
+    from ..operators import patterns as _patterns
+
+    part = _load(spark, sf_dir, "part").select(
+        "p_partkey", F.lower(F.col("p_name")).alias("requested_layer")
+    )
+    out = _patterns.match_layers(part, _PATTERN_LAYERS, _PATTERN_CONFIG)
+    return out.select("p_partkey", "matched_layer")
+
+
 # ---------------------------------------------------------------------------
 # sinks: exact formatting
 # ---------------------------------------------------------------------------
