@@ -225,3 +225,50 @@ class TestPatternMatching:
         assert patterns.match_layer(cfg, "pune_dem", ["x_pune_y"]) is None
         patterns.add_fallback(cfg, "pune")
         assert patterns.match_layer(cfg, "anything", ["x_pune_y"]) == "x_pune_y"
+
+
+# ---------------------------------------------------------------------------
+# A2 multi-root scan
+# ---------------------------------------------------------------------------
+
+def test_glob_to_like():
+    from tiff_to_geojson_csv_json_format_converter_spark.sources import multiroot
+
+    assert multiroot.glob_to_like("*.tif") == "%.tif"
+    assert multiroot.glob_to_like("slope?.tif*") == "slope_.tif%"
+    assert multiroot.glob_to_like("a_b%c") == "a\\_b\\%c"
+
+
+def test_multi_root_scan_semantics(spark):
+    from tiff_to_geojson_csv_json_format_converter_spark.sources import multiroot
+
+    cat = spark.createDataFrame(
+        [
+            ("rootA", "rootA/slope_001.tif"),   # matches *.tif AND *slope*.tif*
+            ("rootA", "rootA/notes.txt"),
+            ("rootA", "rootA/b.tiff"),
+            ("rootB", "rootB/zz.tif"),
+            ("rootB", "rootB/aa.tif"),
+            ("rootC", "rootC/ignored.tif"),     # root not searched
+        ],
+        "root string, path string",
+    )
+    out = multiroot.multi_root_scan(
+        cat,
+        roots=["rootB", "rootA", "missing"],
+        patterns=["*.tif", "*.tiff", "*slope*.tif*"],
+        per_root_cap=1,
+        cap=5,
+    ).collect()
+    # rootB has priority 0 -> its lexicographically-first match first;
+    # per-root cap keeps 1 per root; missing root contributes nothing;
+    # the multi-pattern match of slope_001.tif appears at most once.
+    assert [(r.root, r.path) for r in out] == [
+        ("rootB", "rootB/aa.tif"),
+        ("rootA", "rootA/b.tiff"),
+    ]
+    # global cap: without per-root cap, cap=3 keeps priority order head
+    out2 = multiroot.multi_root_scan(
+        cat, roots=["rootB", "rootA"], patterns=["*.tif*"], cap=3
+    ).collect()
+    assert [r.path for r in out2] == ["rootB/aa.tif", "rootB/zz.tif", "rootA/b.tiff"]

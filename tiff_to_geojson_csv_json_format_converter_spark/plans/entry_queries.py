@@ -1326,3 +1326,72 @@ def q_media_features(spark, sf_dir):
         F.col("n_bytes").cast("long").alias("n_bytes"),
         "ok",
     )
+
+
+# ---------------------------------------------------------------------------
+# A2: multi-root search with pattern ladder + caps
+# ---------------------------------------------------------------------------
+
+_MR_CATALOG_SQL = """
+    SELECT source AS root,
+           source || '/' ||
+           (CASE WHEN doc_id % 7 = 0 THEN 'slope_' ELSE 'doc_' END) ||
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') ||
+           (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '.tif'
+                 WHEN 1 THEN '.tiff' ELSE '.txt' END) AS path
+    FROM documents
+"""
+
+
+@_register(
+    "multi_root_scan",
+    f"""
+    WITH cat AS ({_MR_CATALOG_SQL}),
+    roots AS (
+        SELECT * FROM (VALUES (0, 'src3'), (1, 'src1'), (2, 'no_such_root'),
+                              (3, 'src5')) AS r(root_priority, root)
+    ),
+    hits AS (
+        SELECT DISTINCT r.root_priority, r.root, c.path
+        FROM cat c JOIN roots r ON c.root = r.root
+        WHERE c.path LIKE '%.tif' OR c.path LIKE '%.tiff'
+           OR c.path LIKE '%slope%.tif%'
+    ),
+    capped AS (
+        SELECT root_priority, root, path,
+               ROW_NUMBER() OVER (PARTITION BY root ORDER BY path) AS rn
+        FROM hits
+    )
+    SELECT CAST(root_priority AS INT) AS root_priority, root, path
+    FROM capped WHERE rn <= 8
+    ORDER BY root_priority, path LIMIT 20
+    """,
+)
+def q_multi_root_scan(spark, sf_dir):
+    """A2: multi-root glob search with per-root + global caps
+    (test2.py:45-89). The documents table doubles as a distributed file
+    catalog: (source, derived filename). One root in the priority list
+    does not exist and contributes nothing, files matching several
+    patterns dedupe, and both caps are deterministic (sorted before
+    the head — the reference's unordered set()[:5] made reproducible)."""
+    from ..sources import multiroot
+
+    docs = _load(spark, sf_dir, "documents")
+    cat = docs.select(
+        F.col("source").alias("root"),
+        F.concat(
+            F.col("source"), F.lit("/"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("slope_")).otherwise(F.lit("doc_")),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+            F.when((F.col("doc_id") % 3).cast("int") == 0, F.lit(".tif"))
+            .when((F.col("doc_id") % 3).cast("int") == 1, F.lit(".tiff"))
+            .otherwise(F.lit(".txt")),
+        ).alias("path"),
+    )
+    return multiroot.multi_root_scan(
+        cat,
+        roots=["src3", "src1", "no_such_root", "src5"],
+        patterns=["*.tif", "*.tiff", "*slope*.tif*"],
+        per_root_cap=8,
+        cap=20,
+    )
