@@ -275,6 +275,77 @@ class TestSinks:
         assert set(doc["data"]) == {"longitude", "latitude", "elevation"}
         assert len(doc["data"]["longitude"]) == 10
 
+    def test_struct_of_arrays_envelope_parity(self, spark, points_sdf):
+        """Byte parity with the reference envelope (doesSamples.py:106-137):
+        same metadata fields, same bounds over the SAMPLED points, arrays
+        in deterministic pixel order, json.dumps(separators=(',',':'))."""
+        img = points_sdf.filter("band = 0").select("image_id").first()["image_id"]
+        pts = points_sdf.filter(points_sdf["image_id"] == img).filter("band = 0")
+        # shuffle partitions on purpose: order must come from order_col
+        got = sinks.json_struct_of_arrays(
+            pts.repartition(7),
+            {},
+            source_file=f"{img}.tif",
+            original_crs="EPSG:32643",
+            original_dimensions=(32, 32),
+            original_total_points=1024,
+            sample_rate=1,
+            nodata_value=None,
+            order_col="pixel_idx",
+        )
+        rows = sorted(pts.collect(), key=lambda r: r["pixel_idx"])
+        lon = np.array([r["longitude"] for r in rows])
+        lat = np.array([r["latitude"] for r in rows])
+        z = np.array([r["elevation"] for r in rows])
+        want = json.dumps({
+            "metadata": {
+                "source_file": f"{img}.tif",
+                "original_crs": "EPSG:32643",
+                "output_crs": "EPSG:4326",
+                "coordinate_system": "WGS84 (longitude, latitude)",
+                "original_dimensions": [32, 32],
+                "original_total_points": 1024,
+                "frontend_points": len(rows),
+                "sample_rate": 1,
+                "nodata_value": None,
+                "bounds": {
+                    "min_longitude": float(lon.min()), "max_longitude": float(lon.max()),
+                    "min_latitude": float(lat.min()), "max_latitude": float(lat.max()),
+                    "min_elevation": float(z.min()), "max_elevation": float(z.max()),
+                },
+            },
+            "data": {"longitude": lon.tolist(), "latitude": lat.tolist(),
+                     "elevation": z.tolist()},
+        }, separators=(",", ":"))
+        assert got == want
+
+    def test_distributed_geojson_docs_match_driver_assembly(self, spark, points_sdf):
+        """The executor-side FeatureCollection builder must byte-equal the
+        driver-assembled envelope for every image."""
+        images = synth.images_df(spark, "xs")
+        pts = points_sdf.filter("band = 0")
+        docs = {r["image_id"]: r["doc"]
+                for r in sinks.geojson_collection_docs(pts.repartition(5), images).collect()}
+        img_meta = {r["image_id"]: r["w"] * r["h"]
+                    for r in images.select("image_id", "w", "h").collect()}
+        assert docs
+        for image_id, doc in list(docs.items())[:3]:
+            single = (pts.filter(pts["image_id"] == image_id)
+                      .orderBy("pixel_idx").coalesce(1))
+            want = sinks.geojson_feature_collection(
+                single, image_id, img_meta[image_id])
+            assert doc == want
+
+    def test_write_geojson_per_image(self, spark, points_sdf, tmp_path):
+        images = synth.images_df(spark, "xs")
+        out = str(tmp_path / "gj")
+        sinks.write_geojson_per_image(points_sdf.filter("band = 0"), images, out)
+        files = glob.glob(os.path.join(out, "image_id=*", "part-*"))
+        assert files
+        doc = json.loads(open(files[0]).read())
+        assert doc["type"] == "FeatureCollection"
+        assert doc["metadata"]["geojson_points"] == len(doc["features"])
+
     def test_master_catalog(self, spark, points_sdf):
         images = synth.images_df(spark, "xs")
         cat = sinks.master_catalog(points_sdf, images)

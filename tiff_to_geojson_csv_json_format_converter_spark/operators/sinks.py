@@ -223,16 +223,148 @@ def geojson_feature_collection(points: DataFrame, source_file: str,
     return body.replace('"@@F@@"', ",".join(feats))
 
 
-def json_struct_of_arrays(points: DataFrame, metadata: dict) -> str:
-    """The doesSamples.py:108-133 JSON doc: metadata + parallel arrays.
-    Arrays come back from ONE aggregate (collect_list per column)."""
+def geojson_collection_docs(points: DataFrame, images: DataFrame,
+                            order_col: str = "pixel_idx",
+                            source_suffix: str = "") -> DataFrame:
+    """Distributed FeatureCollection builder: one envelope STRING per
+    image, byte-identical to ``geojson_feature_collection``, assembled
+    entirely executor-side.
+
+    One shuffle (groupBy image_id) + one broadcastable join against the
+    image catalog for total_original_points; the driver never touches a
+    feature. This is the 100 TB surface for the A6 sink — the collected
+    variant above stays for the reference's capped (≤10k features)
+    request/response path. Features are ordered by ``order_col`` so the
+    output is a pure function of the data, not of the shuffle.
+    """
+    feats = points.select(
+        "image_id",
+        F.col(order_col).alias("_o"),
+        geojson_feature_col().alias("_f"),
+    )
+    per_img = feats.groupBy("image_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_o", "_f"))),
+                lambda s: s["_f"],
+            ),
+            ",",
+        ).alias("_body"),
+        F.count("*").alias("_n"),
+    )
+    totals = images.select(
+        "image_id", (F.col("w").cast("long") * F.col("h")).alias("_total")
+    )
+    header = F.format_string(
+        '{"type":"FeatureCollection",'
+        '"crs":{"type":"name","properties":{"name":"urn:ogc:def:crs:OGC:1.3:CRS84"}},'
+        '"metadata":{"source_file":"%s","total_original_points":%s,'
+        '"geojson_points":%s,'
+        '"note":"Coordinates in WGS84 (longitude, latitude, elevation)"},'
+        '"features":[',
+        F.concat(F.col("image_id"), F.lit(source_suffix)),
+        F.col("_total").cast("string"),
+        F.col("_n").cast("string"),
+    )
+    return (
+        per_img.join(F.broadcast(totals), "image_id")
+        .select("image_id", F.concat(header, F.col("_body"), F.lit("]}")).alias("doc"))
+    )
+
+
+def write_geojson_per_image(points: DataFrame, images: DataFrame, path: str,
+                            order_col: str = "pixel_idx") -> None:
+    """Write one ``<image_id>/part-*.txt`` FeatureCollection per image via
+    the distributed text writer — no driver materialization."""
+    (
+        geojson_collection_docs(points, images, order_col=order_col)
+        .withColumnRenamed("doc", "value")
+        .repartition("image_id")
+        .write.mode("overwrite")
+        .partitionBy("image_id")
+        .text(path)
+    )
+
+
+def json_struct_of_arrays(
+    points: DataFrame,
+    metadata: dict,
+    *,
+    source_file: str | None = None,
+    original_crs: str | None = None,
+    original_dimensions: tuple[int, int] | None = None,
+    original_total_points: int | None = None,
+    sample_rate: int | None = None,
+    nodata_value: float | None = None,
+    order_col: str | None = None,
+) -> str:
+    """The doesSamples.py:106-137 JSON doc: full metadata envelope +
+    parallel data arrays, computed in ONE distributed aggregate.
+
+    Field-for-field parity with the reference envelope
+    (doesSamples.py:108-126): source_file, original_crs,
+    output_crs='EPSG:4326', coordinate_system, original_dimensions
+    [width,height], original_total_points, frontend_points (= the
+    sampled row count), sample_rate, nodata_value (None when the source
+    declares none), and bounds min/max over longitude/latitude/elevation
+    of the SAMPLED points (the reference computes bounds on lon_sampled
+    etc., not the full raster). Extra ``metadata`` keys are merged in
+    (caller-supplied values win, matching the dict-literal order).
+
+    The arrays and every bound/count come back from a single
+    collect_list+min/max/count aggregate — one job, one pass — so the
+    sink is O(result) driver memory exactly like the reference's
+    sampled-array JSON (bounded by the ≤100k sample cap upstream).
+    """
+    if order_col is not None:
+        # deterministic row-major arrays: collect (ordinal, lon, lat, z)
+        # structs, sort once on the driver-bound aggregate (struct order
+        # = field order, ordinal first), then strip the ordinal. This
+        # keeps the parallel arrays byte-stable across shuffles.
+        triple = F.array_sort(
+            F.collect_list(F.struct(
+                F.col(order_col).alias("o"),
+                F.col("longitude").alias("lon"),
+                F.col("latitude").alias("lat"),
+                F.col("elevation").alias("z"),
+            ))
+        )
+        lon_agg = F.transform(triple, lambda s: s["lon"]).alias("lon")
+        lat_agg = F.transform(triple, lambda s: s["lat"]).alias("lat")
+        z_agg = F.transform(triple, lambda s: s["z"]).alias("z")
+    else:
+        lon_agg = F.collect_list("longitude").alias("lon")
+        lat_agg = F.collect_list("latitude").alias("lat")
+        z_agg = F.collect_list("elevation").alias("z")
     row = points.agg(
-        F.collect_list("longitude").alias("lon"),
-        F.collect_list("latitude").alias("lat"),
-        F.collect_list("elevation").alias("z"),
+        lon_agg, lat_agg, z_agg,
+        F.count("*").alias("n"),
+        F.min("longitude").alias("min_lon"), F.max("longitude").alias("max_lon"),
+        F.min("latitude").alias("min_lat"), F.max("latitude").alias("max_lat"),
+        F.min("elevation").alias("min_z"), F.max("elevation").alias("max_z"),
     ).collect()[0]
+    meta = {
+        "source_file": source_file,
+        "original_crs": original_crs,
+        "output_crs": "EPSG:4326",
+        "coordinate_system": "WGS84 (longitude, latitude)",
+        "original_dimensions": list(original_dimensions) if original_dimensions else None,
+        "original_total_points": original_total_points,
+        "frontend_points": int(row["n"]),
+        "sample_rate": sample_rate,
+        "nodata_value": float(nodata_value) if nodata_value is not None else None,
+        "bounds": {
+            "min_longitude": float(row["min_lon"]) if row["n"] else None,
+            "max_longitude": float(row["max_lon"]) if row["n"] else None,
+            "min_latitude": float(row["min_lat"]) if row["n"] else None,
+            "max_latitude": float(row["max_lat"]) if row["n"] else None,
+            "min_elevation": float(row["min_z"]) if row["n"] else None,
+            "max_elevation": float(row["max_z"]) if row["n"] else None,
+        },
+    }
+    meta.update(metadata)
     doc = {
-        "metadata": metadata,
+        "metadata": meta,
         "data": {"longitude": row["lon"], "latitude": row["lat"], "elevation": row["z"]},
     }
     return json.dumps(doc, separators=(",", ":"))
