@@ -1395,3 +1395,143 @@ def q_multi_root_scan(spark, sf_dir):
         per_root_cap=8,
         cap=20,
     )
+
+
+# ---------------------------------------------------------------------------
+# raster digest queries: hard VALUES oracles for the decode pipeline
+# ---------------------------------------------------------------------------
+#
+# The three rows-only raster entries above cannot be expressed in DuckDB
+# SQL (binary decode). These digest twins make the pipeline's RESULT
+# driver-checkable anyway: every aggregate is an exactly-representable
+# int64 (counts, sums of floor-quantized coordinates), so it is
+# order-independent and engine-independent, and the expected values are
+# replayed once at import time through the same per-image kernel the
+# Arrow pass uses (cheap: 32 images of 16x16). The digest therefore
+# hard-verifies the DISTRIBUTED plumbing (no lost/duplicated rows, tile
+# assignment, PIP clip, aggregation) against a single-process replay;
+# the decode math itself is independently verified row-for-row against
+# the pure-numpy reference oracle in tests/test_extract.py.
+
+def _raster_digest_rows():
+    """Single-process replay of the xs extraction, shared by the three
+    digest oracles: (image_id, band, tile_id, in_delhi, lon_e6, lat_e6,
+    elev_cents) per point."""
+    import math
+
+    import numpy as np
+
+    from ..functions import cells as _cells
+    from ..functions import geometry as _geometry
+    from ..operators.extract import _extract_image
+
+    n, sizes = synth.SCALES["xs"]
+    pdf = synth.generate_pandas(np.arange(n), n, sizes)
+    out = []
+    for img in pdf.to_dict("records"):
+        for band, bi, bl, bb, bz in _extract_image(
+            img["image_id"], img["bytes"], img["w"], img["h"], img["fmt"],
+            tuple(img["transform"]), img["crs"], img["band_count"],
+            True, None, None, True,
+        ):
+            tx, ty = _cells.tile_xy(bl, bb, 12)
+            tile = tx * (1 << 12) + ty
+            inside = _geometry.points_in_polygon(bl, bb, [synth.GOLDEN_DELHI_RING])
+            for k in range(len(bi)):
+                out.append((
+                    img["image_id"], int(band), int(tile[k]), bool(inside[k]),
+                    math.floor(bl[k] * 1e6), math.floor(bb[k] * 1e6),
+                    math.floor(bz[k] * 100.0),
+                ))
+    return out
+
+
+def _values_sql(rows, cols: str) -> str:
+    body = ", ".join("(" + ", ".join(map(str, r)) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES {body}) AS t({cols})"
+
+
+def _raster_digest_oracles() -> dict[str, str]:
+    pts = _raster_digest_rows()
+    per_img: dict[tuple, list] = {}
+    per_tile: dict[int, list] = {}
+    per_zonal: dict[tuple, list] = {}
+    for s, band, tile, inside, lon6, lat6, zc in pts:
+        per_img.setdefault((s, band), []).append((lon6, lat6, zc))
+        per_tile.setdefault(tile, []).append((s, zc))
+        if inside:
+            per_zonal.setdefault((s, band), []).append(zc)
+
+    extract_rows = [
+        (f"'{s}'", band, len(v), sum(x[0] for x in v), sum(x[1] for x in v),
+         sum(x[2] for x in v))
+        for (s, band), v in sorted(per_img.items())
+    ]
+    tile_rows = [
+        (t, len(v), len({x[0] for x in v}), sum(x[1] for x in v))
+        for t, v in sorted(per_tile.items())
+    ]
+    zonal_rows = [
+        (f"'{s}'", band, len(v), min(v), max(v), sum(v))
+        for (s, band), v in sorted(per_zonal.items())
+    ]
+    return {
+        "raster_extract_digest": _values_sql(
+            extract_rows,
+            "image_id, band, n, sum_lon_e6, sum_lat_e6, sum_elev_cents",
+        ),
+        "raster_tile_digest": _values_sql(
+            tile_rows, "tile_id, n_points, n_images, sum_elev_cents"
+        ),
+        "raster_zonal_digest": _values_sql(
+            zonal_rows,
+            "image_id, band, n, min_elev_cents, max_elev_cents, sum_elev_cents",
+        ),
+    }
+
+
+_RASTER_DIGEST_SQL = _raster_digest_oracles()
+
+
+@_register("raster_extract_digest", _RASTER_DIGEST_SQL["raster_extract_digest"])
+def q_raster_extract_digest(spark, sf_dir):
+    """A3/B1-B6 decode pipeline, digest form: per (image, band) exact
+    int64 aggregates of the extracted points vs a single-process replay."""
+    from ..operators import extract
+
+    pts = extract.extract_points(synth.images_df(spark, "xs"), valid_only=True)
+    return pts.groupBy("image_id", F.col("band").cast("int").alias("band")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("longitude") * 1e6)).cast("long").alias("sum_lon_e6"),
+        F.sum(F.floor(F.col("latitude") * 1e6)).cast("long").alias("sum_lat_e6"),
+        F.sum(F.floor(F.col("elevation") * 100.0)).cast("long").alias("sum_elev_cents"),
+    )
+
+
+@_register("raster_tile_digest", _RASTER_DIGEST_SQL["raster_tile_digest"])
+def q_raster_tile_digest(spark, sf_dir):
+    """Tile-assignment digest: per level-12 tile exact counts + sums."""
+    from ..operators import extract
+
+    pts = extract.extract_points(synth.images_df(spark, "xs"), valid_only=True)
+    return tiling.assign_tiles(pts, 12).groupBy("tile_id").agg(
+        F.count("*").alias("n_points"),
+        F.countDistinct("image_id").alias("n_images"),
+        F.sum(F.floor(F.col("elevation") * 100.0)).cast("long").alias("sum_elev_cents"),
+    )
+
+
+@_register("raster_zonal_digest", _RASTER_DIGEST_SQL["raster_zonal_digest"])
+def q_raster_zonal_digest(spark, sf_dir):
+    """Polygon-clip digest: PIP against the golden Delhi ring, exact
+    per-(image, band) int64 aggregates of the clipped points."""
+    from ..operators import extract, joins
+
+    pts = extract.extract_points(synth.images_df(spark, "xs"), valid_only=True)
+    clipped = joins.clip_points(pts, [synth.GOLDEN_DELHI_RING])
+    return clipped.groupBy("image_id", F.col("band").cast("int").alias("band")).agg(
+        F.count("*").alias("n"),
+        F.min(F.floor(F.col("elevation") * 100.0)).cast("long").alias("min_elev_cents"),
+        F.max(F.floor(F.col("elevation") * 100.0)).cast("long").alias("max_elev_cents"),
+        F.sum(F.floor(F.col("elevation") * 100.0)).cast("long").alias("sum_elev_cents"),
+    )
