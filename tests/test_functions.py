@@ -219,3 +219,21 @@ class TestBufferRing:
         buf = geometry.buffer_ring(self.L_SHAPE, 1e-9)
         orig = geometry.close_ring(self.L_SHAPE)
         assert np.allclose(buf, orig, atol=1e-7)
+
+
+def test_points_in_union_overlap_counted_once():
+    """Two overlapping squares: the overlap is IN the union (OR), though
+    even-odd over the stacked rings would XOR it out."""
+    import numpy as np
+
+    from tiff_to_geojson_csv_json_format_converter_spark.functions import geometry
+
+    sq1 = [[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]
+    sq2 = [[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0], [1.0, 1.0]]
+    x = np.array([1.5, 0.5, 2.5, 3.5])  # overlap, only sq1, only sq2, outside
+    y = np.array([1.5, 0.5, 2.5, 3.5])
+    got = geometry.points_in_union(x, y, [[sq1], [sq2]])
+    assert got.tolist() == [True, True, True, False]
+    # the stacked even-odd polygon is provably wrong on the overlap
+    xor = geometry.points_in_polygon(x, y, [sq1, sq2])
+    assert not xor[0]

@@ -120,6 +120,26 @@ def buffer_ring(ring: Ring, dist: float, miter_limit: float = 8.0) -> np.ndarray
     return close_ring(out)
 
 
+def points_in_union(x: np.ndarray, y: np.ndarray,
+                    polygons: Sequence[Sequence[Ring]]) -> np.ndarray:
+    """TRUE geometric-union membership: a point is in the union iff it is
+    inside ANY polygon (each polygon = shell + holes, even-odd within).
+
+    This is the engine form of the reference's turf ``union`` of drawn
+    regions before zonal stats (slope.js:406,427): union SEMANTICS for
+    clipping and aggregation, computed WITHOUT constructing the merged
+    geometry. Overlap-safe where stacking all rings into one even-odd
+    polygon is not (a point covered by two overlapping shells XORs to
+    "outside" there; it ORs to "inside" here). The merged ring set
+    itself is a client-display concern in the reference and stays out
+    of the engine.
+    """
+    inside = points_in_polygon(x, y, polygons[0])
+    for rings in polygons[1:]:
+        inside = inside | points_in_polygon(x, y, rings)
+    return inside
+
+
 def buffer_ring_centroid_quirk(ring: Ring, dist: float) -> np.ndarray:
     """The round-1 centroid-scaling shortcut, kept as a documented quirk:
     pushes each vertex away from the centroid. WRONG for concave shells

@@ -57,6 +57,33 @@ def clip_points(points: DataFrame, rings: list, lon_col: str = "longitude", lat_
     return boxed.filter(pip_contains_udf(rings)(F.col(lon_col), F.col(lat_col)))
 
 
+def clip_points_union(points: DataFrame, polygons: list,
+                      lon_col: str = "longitude", lat_col: str = "latitude") -> DataFrame:
+    """D7: clip against the UNION of several polygons (each a ring list)
+    — the reference's turf-union-then-clip flow (slope.js:406-427) with
+    union semantics fused into the predicate: overall-bbox prefilter
+    (Catalyst, scan-pushed) then OR-of-even-odd PIP refinement in one
+    Arrow pass. No merged geometry is materialized; overlapping regions
+    are counted once."""
+    shells = [np.asarray(p[0], dtype=np.float64) for p in polygons]
+    min_lon = min(float(s[:, 0].min()) for s in shells)
+    max_lon = max(float(s[:, 0].max()) for s in shells)
+    min_lat = min(float(s[:, 1].min()) for s in shells)
+    max_lat = max(float(s[:, 1].max()) for s in shells)
+    boxed = points.filter(
+        (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon)
+        & (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat)
+    )
+    polys_arr = [[np.asarray(r, dtype=np.float64) for r in p] for p in polygons]
+
+    @F.pandas_udf(BooleanType())
+    def contains(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        inside = geometry.points_in_union(lon.to_numpy(), lat.to_numpy(), polys_arr)
+        return pd.Series(inside)
+
+    return boxed.filter(contains(F.col(lon_col), F.col(lat_col)))
+
+
 def bbox_join(images: DataFrame, polygons: DataFrame, how: str = "inner") -> DataFrame:
     """Which images intersect which polygons — the reference's file-level
     prefilter (test2.py:94-110) and the catalog's ``findFilesInBounds``

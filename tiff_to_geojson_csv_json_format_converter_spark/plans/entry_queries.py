@@ -1535,3 +1535,44 @@ def q_raster_zonal_digest(spark, sf_dir):
         F.max(F.floor(F.col("elevation") * 100.0)).cast("long").alias("max_elev_cents"),
         F.sum(F.floor(F.col("elevation") * 100.0)).cast("long").alias("sum_elev_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D7: union-of-polygons zonal stats (overlap-safe)
+# ---------------------------------------------------------------------------
+
+def _zonal_union_sql(polygon_ids: list[str]) -> str:
+    pips = " OR ".join(f"({_raycast_sql(_rings(p), 'lon', 'lat')})" for p in polygon_ids)
+    return f"""
+    WITH pts AS ({_PTS_SQL}),
+    clipped AS (SELECT * FROM pts WHERE valid AND ({pips})),
+    g AS (
+        SELECT image_id,
+               MIN(CAST(z AS BIGINT)) AS min_z,
+               MAX(CAST(z AS BIGINT)) AS max_z,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(z AS BIGINT)) AS BIGINT) AS sum_z
+        FROM clipped GROUP BY image_id
+    )
+    SELECT image_id, min_z, max_z, cnt, sum_z FROM g
+    """
+
+
+@_register("zonal_stats_union", _zonal_union_sql(["poly_0002", "poly_0003"]))
+def q_zonal_stats_union(spark, sf_dir):
+    """D7: zonal stats over the UNION of two OVERLAPPING polygons
+    (small box poly_0002 sits inside pentagon poly_0003's extent) — the
+    reference's turf-union-then-clip flow (slope.js:406-427) as an
+    OR-of-PIP predicate. Overlap region counted once (even-odd ring
+    stacking would XOR it out)."""
+    pts = _pts(spark, sf_dir).filter("valid")
+    clipped = joins.clip_points_union(
+        pts, [_rings("poly_0002"), _rings("poly_0003")], lon_col="lon", lat_col="lat"
+    )
+    zl = F.col("z").cast("long")
+    return clipped.groupBy("image_id").agg(
+        F.min(zl).alias("min_z"),
+        F.max(zl).alias("max_z"),
+        F.count("*").alias("cnt"),
+        F.sum(zl).alias("sum_z"),
+    )
