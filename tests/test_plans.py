@@ -92,3 +92,44 @@ def test_cosine_pairs_has_no_cartesian_product(spark):
     p = plan_str(similarity.cosine_pairs(emb, threshold_e6=400_000))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "Join" not in p  # no join at all: broadcast matmul only
+
+
+def test_multi_root_scan_is_broadcast_no_cartesian(spark):
+    """A2: the roots table is broadcast; matching is a LIKE-filtered
+    broadcast join, never a cartesian/shuffle of the catalog."""
+    from tiff_to_geojson_csv_json_format_converter_spark.sources import multiroot
+
+    cat = spark.createDataFrame([("r", "r/a.tif")], "root string, path string")
+    df = multiroot.multi_root_scan(cat, ["r"], ["*.tif"], cap=5)
+    p = plan_str(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_union_clip_bbox_pushed_below_python(spark):
+    """D7 union clip: the overall-bbox prefilter is a Catalyst Filter
+    evaluated BEFORE the Arrow PIP eval (python eval sees boxed rows only)."""
+    pts = spark.createDataFrame(
+        [(1, 77.25, 28.25, 5.0)], "point_id long, longitude double, latitude double, elevation double"
+    )
+    sq = [[77.0, 28.0], [77.5, 28.5], [77.5, 28.5], [77.0, 28.5], [77.0, 28.0]]
+    df = joins.clip_points_union(pts, [[sq], [sq]])
+    p = plan_str(df)
+    assert "ArrowEvalPython" in p
+    # bbox Filter must appear below (after, in formatted order) the python eval
+    python_pos = p.index("ArrowEvalPython")
+    assert ">= 77.0" in p[python_pos:] or "77.0" in p[python_pos:]
+
+
+def test_jaccard_join_is_prefix_equi_join(spark):
+    """Prefix-filter jaccard: the self-join is an equi-join on the hashed
+    shingle (+block) — no cartesian anywhere in the plan."""
+    from tiff_to_geojson_csv_json_format_converter_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh", "s"), (2, "abcdefgx", "s")], "doc_id long, text string, source string"
+    )
+    df = dedup.jaccard_pairs(docs, 3, 500_000, block_col="source")
+    p = plan_str(df)
+    assert "CartesianProduct" not in p
+    assert "sh64" in p
