@@ -237,3 +237,54 @@ def test_points_in_union_overlap_counted_once():
     # the stacked even-odd polygon is provably wrong on the overlap
     xor = geometry.points_in_polygon(x, y, [sq1, sq2])
     assert not xor[0]
+
+
+def test_lossy_quant_codec_psnr_gate():
+    """input_hint per-row invariant: decoded-pixel allclose with
+    PSNR >= 40 dB for LOSSY formats; NoData survives bit-exact."""
+    import numpy as np
+
+    from tiff_to_geojson_csv_json_format_converter_spark.sources import codecs
+
+    rng = np.random.default_rng(7)
+    grid = (rng.random((32, 32)) * 900.0 + 100.0).astype(np.float32)
+    grid[3, 4] = codecs.NODATA_F32
+    grid[10, :] = codecs.NODATA_F32
+    for fmt, min_db in (("q8", 40.0), ("q16", 80.0)):
+        back = codecs.decode(codecs.encode(grid, fmt), fmt, 32, 32)
+        nod = grid <= codecs.NODATA_F32 / 2
+        assert (back[nod] == codecs.NODATA_F32).all()          # NoData exact
+        assert not nod.any() or (back[~nod] > codecs.NODATA_F32 / 2).all()
+        db = codecs.psnr(grid[~nod], back[~nod], peak=float(grid[~nod].max()))
+        assert db >= min_db, (fmt, db)
+        np.testing.assert_allclose(back[~nod], grid[~nod], rtol=0.01, atol=5.0)
+
+
+def test_lossy_format_flows_through_extraction(spark):
+    """A q8 image goes through the full Arrow extract path: same pixel
+    count as lossless, values within quantization tolerance."""
+    import numpy as np
+
+    from tiff_to_geojson_csv_json_format_converter_spark.operators import extract
+    from tiff_to_geojson_csv_json_format_converter_spark.sources import codecs, synth
+
+    pdf = synth.generate_pandas(np.arange(2), 2, [16])
+    img = pdf.iloc[0].to_dict()
+    grid = codecs.decode(img["bytes"], img["fmt"], img["w"], img["h"] * img["band_count"])
+    lossy = dict(img, fmt="q8", bytes=codecs.encode(grid, "q8"))
+    df = spark.createDataFrame(
+        [tuple(lossy[c] if c != "transform" else list(lossy[c]) for c in pdf.columns)],
+        schema=synth.ARROW_SCHEMA_DDL,
+    )
+    ref = spark.createDataFrame(
+        [tuple(img[c] if c != "transform" else list(img[c]) for c in pdf.columns)],
+        schema=synth.ARROW_SCHEMA_DDL,
+    )
+    got = {r["pixel_idx"]: r for r in extract.extract_points(df).collect()}
+    want = {r["pixel_idx"]: r for r in extract.extract_points(ref).collect()}
+    assert set(got) == set(want)
+    g = np.array([got[k]["elevation"] for k in sorted(got)])
+    w_ = np.array([want[k]["elevation"] for k in sorted(want)])
+    assert codecs.psnr(w_, g, peak=float(np.abs(w_).max())) >= 40.0
+    # coordinates are lossless (transform untouched by the codec)
+    assert all(got[k]["longitude"] == want[k]["longitude"] for k in got)

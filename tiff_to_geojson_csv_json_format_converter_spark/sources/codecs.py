@@ -11,6 +11,9 @@ minimal encoders/decoders for the formats the synthetic table uses:
   one strip, uncompressed, 1 band, float32 or uint8 (honors the
   reference's TIFF identity: rasterio ``dataset.read(1)`` at
   completePixleOutput.py:21-23 maps to ``decode(bytes, fmt)`` here)
+- ``q8``/``q16`` — LOSSY linear min/max quantization with exact NoData
+  (the input_hint's PSNR>=40dB decoded-pixel gate needs a lossy format;
+  q8 measures ~50 dB, q16 ~96 dB — both gated in tests)
 
 Everything is vectorized numpy; these run inside Arrow-batched pandas
 UDFs on executors (never per-row Python object churn beyond the
@@ -229,6 +232,42 @@ def decode_geotiff_meta(buf: bytes) -> dict:
 
 # --- dispatch ---------------------------------------------------------------
 
+def encode_quant(arr: np.ndarray, bits: int) -> bytes:
+    """LOSSY quantized codec (``q8``/``q16``): linear min/max quantization
+    of the valid pixels to ``bits``-bit codes, NoData kept exact.
+
+    This is the engine's stand-in for lossy raster compression (the
+    input_hint's PSNR>=40dB gate needs a lossy format to gate): header
+    ``<2d`` (vmin, vmax) then one code per pixel; code 0 is reserved for
+    the NODATA_F32 sentinel so NoData survives bit-exact, data codes are
+    1..2^bits-1. Worst-case quantization PSNR is ~6.02*bits dB minus
+    range slack — q8 lands ~48-50 dB on full-range grids, comfortably
+    above the 40 dB gate, and q16 is transparent (~96 dB).
+    """
+    a = np.asarray(arr, dtype=np.float64)
+    valid = a > float(NODATA_F32) / 2  # sentinel is hugely negative
+    vmin = float(a[valid].min()) if valid.any() else 0.0
+    vmax = float(a[valid].max()) if valid.any() else 0.0
+    maxcode = (1 << bits) - 1
+    span = (vmax - vmin) or 1.0
+    codes = np.zeros(a.shape, dtype=np.uint8 if bits == 8 else np.uint16)
+    scaled = np.rint((a - vmin) / span * (maxcode - 1)).astype(np.int64) + 1
+    codes[valid] = np.clip(scaled[valid], 1, maxcode).astype(codes.dtype)
+    return struct.pack("<2d", vmin, vmax) + codes.tobytes()
+
+
+def decode_quant(buf: bytes, w: int, h: int, bits: int) -> np.ndarray:
+    vmin, vmax = struct.unpack_from("<2d", buf, 0)
+    dtype = np.uint8 if bits == 8 else np.uint16
+    maxcode = (1 << bits) - 1
+    codes = np.frombuffer(buf, dtype=dtype, count=w * h, offset=16).reshape(h, w)
+    span = (vmax - vmin) or 1.0
+    out = vmin + (codes.astype(np.float64) - 1) / (maxcode - 1) * span
+    out = out.astype(np.float32)
+    out[codes == 0] = NODATA_F32
+    return out
+
+
 def encode(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "raw_f32":
         return np.ascontiguousarray(arr, dtype=np.float32).tobytes()
@@ -240,6 +279,10 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         return out.getvalue()
     if fmt == "tiff":
         return encode_tiff(arr)
+    if fmt == "q8":
+        return encode_quant(arr, 8)
+    if fmt == "q16":
+        return encode_quant(arr, 16)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -254,6 +297,10 @@ def decode(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return np.load(io.BytesIO(buf))
     if fmt == "tiff":
         return decode_tiff(buf)
+    if fmt == "q8":
+        return decode_quant(buf, w, h, 8)
+    if fmt == "q16":
+        return decode_quant(buf, w, h, 16)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
