@@ -133,3 +133,17 @@ def test_jaccard_join_is_prefix_equi_join(spark):
     p = plan_str(df)
     assert "CartesianProduct" not in p
     assert "sh64" in p
+
+
+def test_cell_cover_join_is_equi_join(spark):
+    """D1-at-scale: points meet polygons on the cell key (shuffled
+    equi-join), never a cartesian / broadcast nested loop."""
+    pts = spark.createDataFrame(
+        [(1, 77.25, 28.25, 5.0)],
+        "point_id long, longitude double, latitude double, elevation double",
+    )
+    polys = synth.polygons_df(spark)
+    df = joins.cell_cover_join(pts, polys, level=8)
+    p = plan_str(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p

@@ -84,6 +84,74 @@ def clip_points_union(points: DataFrame, polygons: list,
     return boxed.filter(contains(F.col(lon_col), F.col(lat_col)))
 
 
+def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
+                    lon_col: str = "longitude", lat_col: str = "latitude") -> DataFrame:
+    """Point-in-polygon join for LARGE polygon sets: cell-cover equi-join
+    + exact PIP refinement.
+
+    ``bbox_join``/``clip_points`` broadcast the polygons — right for the
+    reference's one-request shapes, wrong for 10^5+ polygon layers. Here
+    both sides meet on a Z-order cell key instead:
+
+    1. each polygon explodes (Arrow UDF) to the level-``level`` cells
+       covering its bbox — rows (cell, polygon_id, rings_json);
+    2. each point gets its cell id in pure codegen;
+    3. a shuffle equi-join on the cell produces candidates — each point
+       only ever meets polygons whose cover shares its cell, so the
+       pair count is output-shaped, not |points| x |polygons|;
+    4. one Arrow pass ray-casts the exact rings (parsed once per
+       polygon per batch) over the candidates.
+
+    Hot cells (dense tiles) are ordinary join skew — AQE skew-join or
+    ``salted_repartition`` on the cell key applies. Returns the points
+    columns + ``polygon_id`` (a point duplicates per containing polygon,
+    exactly like a SQL join).
+
+    ``polygons`` needs (polygon_id, geojson, min_lon, min_lat,
+    max_lon, max_lat) — the ``synth.polygons_df`` shape.
+    """
+    import json as _json
+
+    from ..functions import cells as _cells
+
+    def cover(pdf_iter):
+        for pdf in pdf_iter:
+            rows = {"cell": [], "polygon_id": [], "rings_json": []}
+            for r in pdf.itertuples(index=False):
+                cover_cells = _cells.cover_bbox(
+                    r.min_lon, r.min_lat, r.max_lon, r.max_lat, level
+                )
+                rings = _json.dumps(_json.loads(r.geojson)["coordinates"])
+                for c in cover_cells.tolist():
+                    rows["cell"].append(c)
+                    rows["polygon_id"].append(r.polygon_id)
+                    rows["rings_json"].append(rings)
+            yield pd.DataFrame(rows)
+
+    poly_cells = polygons.mapInPandas(
+        cover, "cell long, polygon_id string, rings_json string"
+    )
+    pts = points.withColumn(
+        "cell", _cells.cell_id_col(F.col(lon_col), F.col(lat_col), level)
+    )
+    cand = pts.join(poly_cells, "cell")
+
+    @F.pandas_udf(BooleanType())
+    def pip_pair(lon: pd.Series, lat: pd.Series, rings_json: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon), dtype=bool)
+        x, y = lon.to_numpy(), lat.to_numpy()
+        for rj in rings_json.unique():
+            m = (rings_json == rj).to_numpy()
+            rings = [np.asarray(r, dtype=np.float64) for r in _json.loads(rj)]
+            out[m] = geometry.points_in_polygon(x[m], y[m], rings)
+        return pd.Series(out)
+
+    return (
+        cand.filter(pip_pair(F.col(lon_col), F.col(lat_col), F.col("rings_json")))
+        .drop("cell", "rings_json")
+    )
+
+
 def bbox_join(images: DataFrame, polygons: DataFrame, how: str = "inner") -> DataFrame:
     """Which images intersect which polygons — the reference's file-level
     prefilter (test2.py:94-110) and the catalog's ``findFilesInBounds``

@@ -1576,3 +1576,37 @@ def q_zonal_stats_union(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.sum(zl).alias("sum_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D1-at-scale: cell-cover polygon join (many-polygon path)
+# ---------------------------------------------------------------------------
+
+def _cover_join_sql() -> str:
+    selects = []
+    for p in synth.polygons():
+        pip = _raycast_sql(p["rings"], "lon", "lat")
+        selects.append(f"""
+        SELECT '{p["polygon_id"]}' AS polygon_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(z AS BIGINT)) AS BIGINT) AS sum_z
+        FROM pts WHERE valid AND ({pip})
+        HAVING COUNT(*) > 0""")
+    u = " UNION ALL ".join(selects)
+    return f"WITH pts AS ({_PTS_SQL}) {u}"
+
+
+@_register("cell_cover_join", _cover_join_sql())
+def q_cell_cover_join(spark, sf_dir):
+    """D1/D3 at large polygon cardinality: polygons explode to covering
+    Z-order cells, points join on their cell (equi-join, output-shaped
+    pair count — never |points| x |polygons|), exact ray-cast refine.
+    The broadcast bbox join stays for the reference's single-request
+    shapes; this is the 10^5-polygon-layer plan."""
+    pts = _pts(spark, sf_dir).filter("valid")
+    polys = synth.polygons_df(spark)
+    joined = joins.cell_cover_join(pts, polys, level=8, lon_col="lon", lat_col="lat")
+    return joined.groupBy("polygon_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("z").cast("long")).alias("sum_z"),
+    )
