@@ -1245,11 +1245,49 @@ def q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, k=5, n_centroids=16, n_probe=16)
 
 
-@_register("stateful_sessions")
+_SESSIONS_SQL = """
+    WITH ev AS (
+        SELECT user_id, ts, epoch_us(ts) AS tus,
+               CAST(FLOOR(value * 100.0e0) AS BIGINT) AS cents
+        FROM events
+    ),
+    lagged AS (
+        SELECT *, CASE WHEN LAG(tus) OVER w IS NULL
+                            OR tus - LAG(tus) OVER w > 1800 * 1000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ),
+    isl AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM lagged
+    ),
+    s AS (
+        SELECT user_id, sid,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM isl GROUP BY user_id, sid
+    ),
+    mx AS (SELECT user_id, MAX(sid) AS max_sid FROM s GROUP BY user_id)
+    SELECT s.user_id, s.session_start, s.session_end, s.n_events,
+           s.sum_cents, (s.sid <> mx.max_sid) AS closed
+    FROM s JOIN mx ON s.user_id = mx.user_id
+"""
+
+
+@_register("stateful_sessions", _SESSIONS_SQL)
 def q_stateful_sessions(spark, sf_dir):
     """Custom stateful streaming (applyInPandasWithState gap sessionizer)
     run to completion via AvailableNow; returns the session table.
-    Non-SQL-expressible (stateful streaming) -> rows-only check."""
+
+    HARD oracle despite being a stateful streaming op: with a
+    single-file AvailableNow source the query drains in ONE batch, so
+    the emitted table is exactly per-user gaps-and-islands
+    sessionization (30-min gap) plus one closed=false snapshot of each
+    user's final session — both expressible as SQL window functions.
+    This pins the stateful operator's semantics, not just its row
+    count."""
     import shutil
     import tempfile
 
