@@ -288,3 +288,26 @@ def test_lossy_format_flows_through_extraction(spark):
     assert codecs.psnr(w_, g, peak=float(np.abs(w_).max())) >= 40.0
     # coordinates are lossless (transform untouched by the codec)
     assert all(got[k]["longitude"] == want[k]["longitude"] for k in got)
+
+
+def test_classify_cells_interior_conservative_exact():
+    """Interior cells must be provably uniform-inside: every sampled point
+    of an interior-classified cell is inside; boundary cells may be mixed.
+    Concave polygon + hole exercise both demotion paths."""
+    import numpy as np
+
+    from tiff_to_geojson_csv_json_format_converter_spark.functions import cells, geometry
+
+    rings = [
+        [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [5.0, 5.0], [0.0, 10.0], [0.0, 0.0]],
+        [[2.0, 2.0], [3.0, 2.0], [3.0, 3.0], [2.0, 3.0], [2.0, 2.0]],  # hole
+    ]
+    cover = cells.cover_bbox(0.0, 0.0, 10.0, 10.0, 8)
+    boxes = np.array([cells.cell_bounds(int(c)) for c in cover])
+    interior = geometry.classify_cells_interior(boxes, rings)
+    assert interior.any() and not interior.all()
+    rng = np.random.default_rng(9)
+    for box in boxes[interior]:
+        x = rng.uniform(box[0], box[2], 64)
+        y = rng.uniform(box[1], box[3], 64)
+        assert geometry.points_in_polygon(x, y, rings).all()

@@ -140,6 +140,47 @@ def points_in_union(x: np.ndarray, y: np.ndarray,
     return inside
 
 
+def classify_cells_interior(cell_boxes: np.ndarray,
+                            rings: Sequence[Ring]) -> np.ndarray:
+    """For cover cells (rows of [min_lon, min_lat, max_lon, max_lat]),
+    return True where the cell is WHOLLY inside the polygon — i.e. its
+    points need no ray-cast at join time (the D3 interior-cell shortcut:
+    exact work becomes O(boundary cells), not O(area)).
+
+    Conservative and exact: a cell is interior iff all 4 corners are
+    inside (even-odd over all rings, holes included) AND no ring edge's
+    bbox overlaps the cell box. If no edge touches the cell, containment
+    is uniform across it, so the corner verdict holds for every interior
+    point; any edge-bbox overlap demotes the cell to boundary (PIP'd per
+    point) — never wrong, only occasionally slower.
+    """
+    boxes = np.asarray(cell_boxes, dtype=np.float64).reshape(-1, 4)
+    k = len(boxes)
+    if k == 0:
+        return np.zeros(0, dtype=bool)
+    # edge bboxes over all rings (shell + holes)
+    segs = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        a, b = r[:-1], r[1:]
+        segs.append(np.column_stack([
+            np.minimum(a[:, 0], b[:, 0]), np.minimum(a[:, 1], b[:, 1]),
+            np.maximum(a[:, 0], b[:, 0]), np.maximum(a[:, 1], b[:, 1]),
+        ]))
+    e = np.vstack(segs)  # (E, 4)
+    # cell x edge bbox overlap: (k, E)
+    overlap = (
+        (boxes[:, None, 0] <= e[None, :, 2]) & (boxes[:, None, 2] >= e[None, :, 0])
+        & (boxes[:, None, 1] <= e[None, :, 3]) & (boxes[:, None, 3] >= e[None, :, 1])
+    ).any(axis=1)
+    corners_x = boxes[:, [0, 2, 0, 2]].ravel()
+    corners_y = boxes[:, [1, 1, 3, 3]].ravel()
+    inside = points_in_polygon(corners_x, corners_y, rings).reshape(k, 4).all(axis=1)
+    return inside & ~overlap
+
+
 def buffer_ring_centroid_quirk(ring: Ring, dist: float) -> np.ndarray:
     """The round-1 centroid-scaling shortcut, kept as a documented quirk:
     pushes each vertex away from the centroid. WRONG for concave shells

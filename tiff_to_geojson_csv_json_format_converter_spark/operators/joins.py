@@ -116,20 +116,28 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
 
     def cover(pdf_iter):
         for pdf in pdf_iter:
-            rows = {"cell": [], "polygon_id": [], "rings_json": []}
+            rows = {"cell": [], "polygon_id": [], "rings_json": [], "interior": []}
             for r in pdf.itertuples(index=False):
                 cover_cells = _cells.cover_bbox(
                     r.min_lon, r.min_lat, r.max_lon, r.max_lat, level
                 )
+                rings_list = [np.asarray(rr, dtype=np.float64)
+                              for rr in _json.loads(r.geojson)["coordinates"]]
                 rings = _json.dumps(_json.loads(r.geojson)["coordinates"])
-                for c in cover_cells.tolist():
+                # interior-cell shortcut (SURVEY D3): cells wholly inside
+                # skip the per-point ray-cast at join time — exact work is
+                # O(boundary cells), not O(polygon area)
+                boxes = np.array([_cells.cell_bounds(int(c)) for c in cover_cells])
+                interior = geometry.classify_cells_interior(boxes, rings_list)
+                for c, it in zip(cover_cells.tolist(), interior.tolist()):
                     rows["cell"].append(c)
                     rows["polygon_id"].append(r.polygon_id)
                     rows["rings_json"].append(rings)
+                    rows["interior"].append(it)
             yield pd.DataFrame(rows)
 
     poly_cells = polygons.mapInPandas(
-        cover, "cell long, polygon_id string, rings_json string"
+        cover, "cell long, polygon_id string, rings_json string, interior boolean"
     )
     pts = points.withColumn(
         "cell", _cells.cell_id_col(F.col(lon_col), F.col(lat_col), level)
@@ -137,18 +145,21 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
     cand = pts.join(poly_cells, "cell")
 
     @F.pandas_udf(BooleanType())
-    def pip_pair(lon: pd.Series, lat: pd.Series, rings_json: pd.Series) -> pd.Series:
-        out = np.zeros(len(lon), dtype=bool)
+    def pip_pair(lon: pd.Series, lat: pd.Series, rings_json: pd.Series,
+                 interior: pd.Series) -> pd.Series:
+        out = interior.to_numpy(dtype=bool).copy()  # interior rows are in
         x, y = lon.to_numpy(), lat.to_numpy()
-        for rj in rings_json.unique():
-            m = (rings_json == rj).to_numpy()
+        pend = ~out
+        for rj in rings_json[pend].unique():
+            m = pend & (rings_json == rj).to_numpy()
             rings = [np.asarray(r, dtype=np.float64) for r in _json.loads(rj)]
             out[m] = geometry.points_in_polygon(x[m], y[m], rings)
         return pd.Series(out)
 
     return (
-        cand.filter(pip_pair(F.col(lon_col), F.col(lat_col), F.col("rings_json")))
-        .drop("cell", "rings_json")
+        cand.filter(pip_pair(F.col(lon_col), F.col(lat_col),
+                             F.col("rings_json"), F.col("interior")))
+        .drop("cell", "rings_json", "interior")
     )
 
 
