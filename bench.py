@@ -32,6 +32,10 @@ HEADLINE = [
     "ngram_jaccard",
     "ann_brute_topk",
     "events_hourly",
+    # round-2 operators
+    "cell_cover_join",
+    "zonal_stats_union",
+    "multi_root_scan",
 ]
 
 
