@@ -272,3 +272,16 @@ def test_multi_root_scan_semantics(spark):
         cat, roots=["rootB", "rootA"], patterns=["*.tif*"], cap=3
     ).collect()
     assert [r.path for r in out2] == ["rootB/aa.tif", "rootB/zz.tif", "rootA/b.tiff"]
+
+
+def test_ivf_distributed_training_exact_in_exhaustive_mode(spark):
+    """Full-corpus Lloyd training: with n_probe == n_centroids the IVF
+    result is exact top-k regardless of centroids — verifies the
+    distributed trainer end-to-end against the brute-force oracle."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = similarity.ivf_topk(
+        emb, k=3, n_centroids=4, n_probe=4, kmeans_iters=2, train="distributed"
+    ).toPandas()
+    want = similarity.brute_topk(emb, k=3).toPandas()
+    key = lambda d: sorted(map(tuple, d[["query_id", "rank", "neighbor_id"]].to_numpy()))
+    assert key(got) == key(want)

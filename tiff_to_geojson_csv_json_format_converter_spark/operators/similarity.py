@@ -126,30 +126,101 @@ def cosine_pairs(df: DataFrame, threshold_e6: int = 950_000, id_col: str = "vec_
     return qdf.mapInPandas(pairs, "id_a long, id_b long, dot_q long, cos_e6 long")
 
 
-def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
-             kmeans_iters: int = 3) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: vectors are assigned to the
-    nearest of ``n_centroids`` coarse centroids (a few seeded Lloyd
-    iterations, driver-side on a sample — deterministic); each query
-    probes its ``n_probe`` nearest centroid lists and exact-reranks only
-    those candidates. The scale path: candidate generation is an
-    equi-join on centroid id; list sizes bound the fan-out.
+def spherical_kmeans_distributed(df: DataFrame, n_centroids: int, iters: int,
+                                 id_col: str, vec_col: str, seed: int = 42):
+    """Distributed spherical k-means: Lloyd iterations as DataFrame jobs.
+
+    Per iteration: broadcast centroids -> one Arrow pass emits per-BATCH
+    partial sums (centroid, sum_vec, n) -> element-wise array reduction
+    per centroid (``aggregate``/``zip_with``, pure JVM) -> tiny
+    (n_centroids x dim) collect -> renormalize. Shuffle volume is
+    O(batches x centroids x dim), never O(rows); this trains on the FULL
+    corpus where the sample trainer caps at 4096 rows. Init is the
+    deterministic first-n_centroids by id (seeded shuffle of that list).
     """
     import numpy as np
 
-    sample = df.select(id_col, vec_col).limit(4096).toPandas()
-    V = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
-    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    init = df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).toPandas()
+    C = np.stack(init[vec_col].to_numpy()).astype(np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
-    C = V[rng.choice(len(V), size=min(n_centroids, len(V)), replace=False)]
-    for _ in range(kmeans_iters):  # spherical k-means, deterministic
-        assign = np.argmax(V @ C.T, axis=1)
-        for c in range(len(C)):
-            m = V[assign == c]
-            if len(m):
-                mean = m.mean(axis=0)
-                C[c] = mean / max(np.linalg.norm(mean), 1e-12)
+    rng.shuffle(C)
+    spark = df.sparkSession
+    dim = C.shape[1]
+    for _ in range(iters):
+        b_C = spark.sparkContext.broadcast(C)
+
+        def partials(batches):
+            CC = b_C.value
+            for pdf in batches:
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+                assign = np.argmax(Xn @ CC.T, axis=1)
+                rows = []
+                for c in np.unique(assign):
+                    m = Xn[assign == c]
+                    rows.append((int(c), m.sum(axis=0).tolist(), len(m)))
+                yield pd.DataFrame(rows, columns=["centroid", "sum_vec", "n"])
+
+        parts = df.select(id_col, vec_col).mapInPandas(
+            partials, "centroid int, sum_vec array<double>, n long"
+        )
+        zero = F.array([F.lit(0.0)] * dim)
+        agg = (
+            parts.groupBy("centroid")
+            .agg(
+                F.aggregate(
+                    F.collect_list("sum_vec"), zero,
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                ).alias("sum_vec"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        for r in agg:
+            s = np.asarray(r["sum_vec"], dtype=np.float64)
+            nrm = np.linalg.norm(s)
+            if nrm > 1e-12:
+                C[r["centroid"]] = s / nrm
+    return C
+
+
+def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+             kmeans_iters: int = 3, train: str = "sample") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: vectors are assigned to the
+    nearest of ``n_centroids`` coarse centroids; each query probes its
+    ``n_probe`` nearest centroid lists and exact-reranks only those
+    candidates. The scale path: candidate generation is an equi-join on
+    centroid id; list sizes bound the fan-out.
+
+    ``train='sample'`` (default): deterministic driver-side spherical
+    k-means on a bounded 4096-row sample — cheap, reproducible, fine for
+    coarse quantization. ``train='distributed'``: full-corpus Lloyd
+    iterations as DataFrame jobs (see spherical_kmeans_distributed) —
+    the 10^9-vector path. Recall/exactness properties are identical
+    either way (probing is what bounds recall; with
+    n_probe == n_centroids the result is exact regardless of training).
+    """
+    import numpy as np
+
+    if train == "distributed":
+        C = spherical_kmeans_distributed(
+            df, n_centroids, kmeans_iters, id_col, vec_col, seed
+        )
+    else:
+        sample = df.select(id_col, vec_col).limit(4096).toPandas()
+        V = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        rng = np.random.default_rng(seed)
+        C = V[rng.choice(len(V), size=min(n_centroids, len(V)), replace=False)]
+        for _ in range(kmeans_iters):  # spherical k-means, deterministic
+            assign = np.argmax(V @ C.T, axis=1)
+            for c in range(len(C)):
+                m = V[assign == c]
+                if len(m):
+                    mean = m.mean(axis=0)
+                    C[c] = mean / max(np.linalg.norm(mean), 1e-12)
     spark = df.sparkSession
     b_C = spark.sparkContext.broadcast(C)
 
