@@ -94,13 +94,19 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
     both sides meet on a Z-order cell key instead:
 
     1. each polygon explodes (Arrow UDF) to the level-``level`` cells
-       covering its bbox — rows (cell, polygon_id, rings_json);
+       covering its bbox — narrow rows (cell, polygon_id, interior);
+       cells wholly inside the polygon are pre-classified so their
+       points skip the ray-cast entirely (exact work = boundary cells);
     2. each point gets its cell id in pure codegen;
     3. a shuffle equi-join on the cell produces candidates — each point
        only ever meets polygons whose cover shares its cell, so the
-       pair count is output-shaped, not |points| x |polygons|;
+       pair count is output-shaped, not |points| x |polygons|; the ring
+       geometry is re-attached AFTER this join via a broadcast join on
+       polygon_id (one copy per executor, never duplicated per cover
+       cell through the shuffle — drop the broadcast hint if the
+       polygon layer outgrows executor memory and let AQE choose);
     4. one Arrow pass ray-casts the exact rings (parsed once per
-       polygon per batch) over the candidates.
+       polygon per batch) over the boundary-cell candidates.
 
     Hot cells (dense tiles) are ordinary join skew — AQE skew-join or
     ``salted_repartition`` on the cell key applies. Returns the points
@@ -116,14 +122,13 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
 
     def cover(pdf_iter):
         for pdf in pdf_iter:
-            rows = {"cell": [], "polygon_id": [], "rings_json": [], "interior": []}
+            rows = {"cell": [], "polygon_id": [], "interior": []}
             for r in pdf.itertuples(index=False):
                 cover_cells = _cells.cover_bbox(
                     r.min_lon, r.min_lat, r.max_lon, r.max_lat, level
                 )
                 rings_list = [np.asarray(rr, dtype=np.float64)
                               for rr in _json.loads(r.geojson)["coordinates"]]
-                rings = _json.dumps(_json.loads(r.geojson)["coordinates"])
                 # interior-cell shortcut (SURVEY D3): cells wholly inside
                 # skip the per-point ray-cast at join time — exact work is
                 # O(boundary cells), not O(polygon area)
@@ -132,17 +137,24 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
                 for c, it in zip(cover_cells.tolist(), interior.tolist()):
                     rows["cell"].append(c)
                     rows["polygon_id"].append(r.polygon_id)
-                    rows["rings_json"].append(rings)
                     rows["interior"].append(it)
             yield pd.DataFrame(rows)
 
+    # (cell, polygon_id, interior) only — the rings geometry would
+    # otherwise be duplicated into every covering-cell row and shuffled
+    # cover-size times; it is re-attached AFTER the cell join by a
+    # broadcast join on polygon_id (one copy per executor, not per row)
     poly_cells = polygons.mapInPandas(
-        cover, "cell long, polygon_id string, rings_json string, interior boolean"
+        cover, "cell long, polygon_id string, interior boolean"
+    )
+    rings_df = polygons.select(
+        "polygon_id",
+        F.get_json_object("geojson", "$.coordinates").alias("rings_json"),
     )
     pts = points.withColumn(
         "cell", _cells.cell_id_col(F.col(lon_col), F.col(lat_col), level)
     )
-    cand = pts.join(poly_cells, "cell")
+    cand = pts.join(poly_cells, "cell").join(F.broadcast(rings_df), "polygon_id")
 
     @F.pandas_udf(BooleanType())
     def pip_pair(lon: pd.Series, lat: pd.Series, rings_json: pd.Series,

@@ -97,6 +97,10 @@ def cosine_pairs(df: DataFrame, threshold_e6: int = 950_000, id_col: str = "vec_
         F.col(id_col).alias("id"), "qvec", "qnorm2"
     )
     corpus = qdf.toPandas()
+    if len(corpus) == 0:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, dot_q long, cos_e6 long"
+        )
     ids = corpus["id"].to_numpy()
     M = np.stack(corpus["qvec"].to_numpy()).astype(np.int64)
     n2 = corpus["qnorm2"].to_numpy().astype(np.int64)
@@ -127,7 +131,7 @@ def cosine_pairs(df: DataFrame, threshold_e6: int = 950_000, id_col: str = "vec_
 
 
 def spherical_kmeans_distributed(df: DataFrame, n_centroids: int, iters: int,
-                                 id_col: str, vec_col: str, seed: int = 42):
+                                 id_col: str, vec_col: str):
     """Distributed spherical k-means: Lloyd iterations as DataFrame jobs.
 
     Per iteration: broadcast centroids -> one Arrow pass emits per-BATCH
@@ -136,15 +140,13 @@ def spherical_kmeans_distributed(df: DataFrame, n_centroids: int, iters: int,
     (n_centroids x dim) collect -> renormalize. Shuffle volume is
     O(batches x centroids x dim), never O(rows); this trains on the FULL
     corpus where the sample trainer caps at 4096 rows. Init is the
-    deterministic first-n_centroids by id (seeded shuffle of that list).
+    deterministic first-n_centroids by id.
     """
     import numpy as np
 
     init = df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).toPandas()
     C = np.stack(init[vec_col].to_numpy()).astype(np.float64)
     C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    rng.shuffle(C)
     spark = df.sparkSession
     dim = C.shape[1]
     for _ in range(iters):
@@ -177,6 +179,7 @@ def spherical_kmeans_distributed(df: DataFrame, n_centroids: int, iters: int,
             )
             .collect()
         )
+        b_C.unpersist()
         for r in agg:
             s = np.asarray(r["sum_vec"], dtype=np.float64)
             nrm = np.linalg.norm(s)
@@ -205,9 +208,7 @@ def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
     import numpy as np
 
     if train == "distributed":
-        C = spherical_kmeans_distributed(
-            df, n_centroids, kmeans_iters, id_col, vec_col, seed
-        )
+        C = spherical_kmeans_distributed(df, n_centroids, kmeans_iters, id_col, vec_col)
     else:
         sample = df.select(id_col, vec_col).limit(4096).toPandas()
         V = np.stack(sample[vec_col].to_numpy()).astype(np.float64)

@@ -43,9 +43,15 @@ def write_compressed_outputs(images_df: DataFrame, out_dir: str,
     Fidelity quirks preserved: x/y are NATIVE-CRS coords (never
     reprojected in this script), downcast to float32 THEN rounded to 2
     decimals; z likewise; ALL pixels are written (no NoData filter);
-    JSON renders the float32 values via Python double repr. One
-    deliberate deviation: gzip members are written with mtime=0 so the
-    bytes are deterministic (the reference embeds wall-clock mtimes).
+    JSON renders the float32 values via Python double repr. NoData
+    pixels inherit a reference artifact: np.round(float32, 2) of the
+    -3.4e38 sentinel overflows to -inf, which json.dumps emits as
+    ``-Infinity`` — NOT RFC-8259 JSON (JSON.parse rejects it). The
+    reference behaves identically on sentinel-bearing rasters; filter
+    NoData upstream (extract_points valid_only) for consumable output.
+    One deliberate deviation: gzip members are written with mtime=0 so
+    the bytes are deterministic (the reference embeds wall-clock
+    mtimes).
 
     Returns a manifest DataFrame (image_id, format, path, n_bytes,
     n_points) — the distributed analog of the reference's printed size

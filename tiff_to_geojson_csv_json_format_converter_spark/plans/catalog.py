@@ -26,6 +26,7 @@ import json
 import os
 import time
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -77,20 +78,27 @@ class ParquetCatalog:
         part_col: str,
         snapshot_id: str,
         parts: list[str] | None = None,
+        checkpoint_every: int = 64,
     ) -> dict:
         """Write ``df`` partitioned by ``part_col`` with resume.
 
-        Each partition value is written independently (dynamic overwrite
-        of just that directory), its row count + order-insensitive
-        checksum recorded in _progress. A re-run with the same inputs
-        skips completed partitions entirely — kill-and-resume leaves no
-        duplicates and re-reads nothing already durable.
+        Pending partitions are written in CHUNKS of ``checkpoint_every``
+        (one dynamic-overwrite job + one _progress append per chunk): at
+        10^3+ partitions the driver runs O(parts/64) jobs instead of
+        O(parts), while a kill mid-run still loses at most one chunk of
+        progress — every completed chunk's partitions are durable in
+        _progress and skipped on resume. Dynamic overwrite keeps re-done
+        partitions idempotent (each replaces only its own directory).
         """
         if parts is None:
             parts = [r[0] for r in df.select(part_col).distinct().collect()]
         done = self.completed_parts()
         todo = [p for p in parts if str(p) not in done]
-        written = self._write_bulk(df, part_col, todo, snapshot_id) if todo else []
+        written: list[str] = []
+        for i in range(0, len(todo), max(checkpoint_every, 1)):
+            written += self._write_bulk(
+                df, part_col, todo[i:i + max(checkpoint_every, 1)], snapshot_id
+            )
         self._write_snapshot(
             snapshot_id,
             sorted({*done.keys(), *written}),
@@ -133,9 +141,14 @@ class ParquetCatalog:
                 )
                 .collect()
             )
-        except Exception:
-            # every pending partition was empty: dynamic overwrite wrote no
-            # files and data/ may not exist yet — record zero-row lineage
+        except AnalysisException as e:
+            # ONLY the first-write edge: every pending partition was empty,
+            # dynamic overwrite wrote no files, data/ does not exist yet.
+            # Anything else (executor loss, corrupt files) must propagate —
+            # recording zero-row lineage for it would mark possibly-populated
+            # partitions complete forever.
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             per_part = []
         wall_ms = int((time.perf_counter() - t0) * 1000)
         found = {r["part_key"]: r for r in per_part}

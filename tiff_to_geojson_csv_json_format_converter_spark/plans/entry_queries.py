@@ -705,7 +705,12 @@ def q_csv_format(spark, sf_dir):
         FROM pts WHERE image_id = 2
     )
     SELECT point_id,
-           printf('%d.%02d,%d.%02d,%d.%02d', lc // 100, lc % 100, bc // 100, bc % 100, zc // 100, zc % 100) AS csv_line
+           (CASE WHEN lc < 0 THEN '-' ELSE '' END) ||
+           printf('%d.%02d,', abs(lc) // 100, abs(lc) % 100) ||
+           (CASE WHEN bc < 0 THEN '-' ELSE '' END) ||
+           printf('%d.%02d,', abs(bc) // 100, abs(bc) % 100) ||
+           (CASE WHEN zc < 0 THEN '-' ELSE '' END) ||
+           printf('%d.%02d', abs(zc) // 100, abs(zc) % 100) AS csv_line
     FROM c
     """,
 )
@@ -726,14 +731,18 @@ def q_compressed_csv_lines(spark, sf_dir):
     c = pts.select(
         "point_id", cents("lon").alias("lc"), cents("lat").alias("bc"), cents("z").alias("zc")
     )
+    # sign handled explicitly: DIV/% on negatives differ between engines
+    # (Spark truncates toward zero, DuckDB floors), and '%d.%02d' would
+    # render '-1.-23'; abs + sign prefix is portable and correct
+    def part(col):
+        return F.concat(
+            F.when(F.col(col) < 0, F.lit("-")).otherwise(F.lit("")),
+            F.format_string("%d.%02d", F.expr(f"abs({col}) DIV 100"), F.expr(f"abs({col}) % 100")),
+        )
+
     return c.select(
         "point_id",
-        F.format_string(
-            "%d.%02d,%d.%02d,%d.%02d",
-            F.expr("lc DIV 100"), F.expr("lc % 100"),
-            F.expr("bc DIV 100"), F.expr("bc % 100"),
-            F.expr("zc DIV 100"), F.expr("zc % 100"),
-        ).alias("csv_line"),
+        F.concat(part("lc"), F.lit(","), part("bc"), F.lit(","), part("zc")).alias("csv_line"),
     )
 
 

@@ -251,8 +251,10 @@ def encode_quant(arr: np.ndarray, bits: int) -> bytes:
     maxcode = (1 << bits) - 1
     span = (vmax - vmin) or 1.0
     codes = np.zeros(a.shape, dtype=np.uint8 if bits == 8 else np.uint16)
-    scaled = np.rint((a - vmin) / span * (maxcode - 1)).astype(np.int64) + 1
-    codes[valid] = np.clip(scaled[valid], 1, maxcode).astype(codes.dtype)
+    # quantize VALID lanes only: running the scale over the -3.4e38
+    # sentinel would overflow the float->int64 cast (platform-defined)
+    scaled = np.rint((a[valid] - vmin) / span * (maxcode - 1)).astype(np.int64) + 1
+    codes[valid] = np.clip(scaled, 1, maxcode).astype(codes.dtype)
     return struct.pack("<2d", vmin, vmax) + codes.tobytes()
 
 

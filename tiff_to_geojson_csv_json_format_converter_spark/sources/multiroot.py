@@ -70,7 +70,9 @@ def multi_root_scan(
     capped. Nonexistent roots contribute nothing (they simply have no
     catalog rows — the reference's ``os.path.exists`` skip).
     """
-    if not roots:
+    if not roots or not patterns:
+        # no roots to search, or an empty pattern ladder = zero matches
+        # (the reference's glob loop simply finds nothing)
         return catalog.sparkSession.createDataFrame(
             [], "root_priority int, root string, path string"
         )
