@@ -353,3 +353,47 @@ class TestSinks:
         assert cat["total_files"] == len(cat["files"])
         lo = min(f["bounds_wgs84"]["min_longitude"] for f in cat["files"])
         assert cat["overall_bounds"]["min_x"] == lo
+
+
+def test_stateful_sessions_cross_batch_continuity(spark, tmp_path):
+    """Multi-batch streaming: state must carry a running session across
+    batches (maxFilesPerTrigger=1 forces one file per micro-batch)."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from tiff_to_geojson_csv_json_format_converter_spark.streaming import incremental
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    mk = lambda eid, ts, uid: (eid, ts.to_pydatetime(), uid, "click", 1.0, "{}")
+    ev_dir = str(tmp_path / "events"); os.makedirs(ev_dir)
+    cols = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # file A: u1 two events 10 min apart; u2 one event
+    spark.createDataFrame(
+        [mk(1, t0, 1), mk(2, t0 + pd.Timedelta(seconds=600), 1), mk(3, t0, 2)], cols
+    ).coalesce(1).write.parquet(f"{ev_dir}/a")
+    # file B (newer mtime): u1 continues within gap; u2 returns after 2 h
+    spark.createDataFrame(
+        [mk(4, t0 + pd.Timedelta(seconds=1200), 1),
+         mk(5, t0 + pd.Timedelta(seconds=7200), 2)], cols
+    ).coalesce(1).write.parquet(f"{ev_dir}/b")
+    now = _time.time()
+    for sub, off in (("a", -60), ("b", 0)):
+        for f in os.listdir(f"{ev_dir}/{sub}"):
+            os.utime(f"{ev_dir}/{sub}/{f}", (now + off, now + off))
+    q = incremental.sessionize_stateful(
+        spark, f"{ev_dir}/*", str(tmp_path / "out"), str(tmp_path / "ck"),
+        gap_seconds=1800, max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    # u1's final snapshot merges events from BOTH batches into one session
+    u1 = out[(out.user_id == 1) & (out.n_events == 3)]
+    assert len(u1) == 1
+    assert u1.iloc[0]["session_start"] == t0
+    assert u1.iloc[0]["session_end"] == t0 + pd.Timedelta(seconds=1200)
+    assert not u1.iloc[0]["closed"]
+    # u2's first session closed by the >gap event in batch 2
+    u2closed = out[(out.user_id == 2) & out.closed]
+    assert len(u2closed) == 1 and u2closed.iloc[0]["n_events"] == 1

@@ -1657,3 +1657,25 @@ def q_cell_cover_join(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.col("z").cast("long")).alias("sum_z"),
     )
+
+
+@_register(
+    "events_windowed",
+    """
+    SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0e0) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_windowed(spark, sf_dir):
+    """G: the watermarked tumbling-window aggregation
+    (streaming.incremental.windowed_event_counts) run in batch mode —
+    identical plan to the readStream form (watermark is a no-op on
+    bounded input), giving the streaming operator a hard SQL oracle."""
+    from ..streaming import incremental
+
+    ev = _load(spark, sf_dir, "events")
+    return incremental.windowed_event_counts(ev)

@@ -55,6 +55,7 @@ def sessionize_stateful(
     out_path: str,
     checkpoint: str,
     gap_seconds: int = 1800,
+    max_files_per_trigger: int | None = None,
 ):
     """Custom stateful streaming operator: gap-based sessionization per
     user via ``applyInPandasWithState`` (the engine's demonstration of
@@ -73,12 +74,15 @@ def sessionize_stateful(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string, "
-            "value double, props string"
-        ).parquet(events_path)
+    reader = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
     )
+    if max_files_per_trigger is not None:
+        # force multi-batch processing (cross-batch state continuity is
+        # what applyInPandasWithState exists for; tests drive it this way)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_path)
 
     out_schema = (
         "user_id long, session_start timestamp, session_end timestamp, "
