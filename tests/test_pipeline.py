@@ -351,7 +351,14 @@ class TestSinks:
         cat = sinks.master_catalog(points_sdf, images)
         assert cat["type"] == "elevation_catalog"
         assert cat["total_files"] == len(cat["files"])
-        lo = min(f["bounds_wgs84"]["min_longitude"] for f in cat["files"])
+        # every source image is enumerated — all-NoData files included,
+        # flagged has_valid_data=False with null bounds (doesSamples
+        # catalogs every file)
+        assert cat["total_files"] == images.count()
+        empties = [f for f in cat["files"] if not f["has_valid_data"]]
+        assert empties and all(f["frontend_points"] == 0 for f in empties)
+        valid = [f for f in cat["files"] if f["has_valid_data"]]
+        lo = min(f["bounds_wgs84"]["min_longitude"] for f in valid)
         assert cat["overall_bounds"]["min_x"] == lo
 
 

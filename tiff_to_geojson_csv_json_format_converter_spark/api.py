@@ -63,8 +63,11 @@ class Converter:
         """Per-image metadata incl. sparsity (test.py:83-95)."""
         pts = extract.extract_points(self.images, valid_only=True)
         agg = extract.analyze_images(pts)
+        # valid_pixels counts points across ALL bands — the denominator
+        # must too, or multi-band images inflate the percentage
         totals = self.images.select(
-            "image_id", (F.col("w") * F.col("h")).alias("total_pixels")
+            "image_id",
+            (F.col("w") * F.col("h") * F.col("band_count")).alias("total_pixels"),
         )
         out = totals.join(agg, "image_id", "left").na.fill({"valid_pixels": 0})
         pct = F.col("valid_pixels").cast("double") / F.col("total_pixels").cast("double")
@@ -89,11 +92,20 @@ class Converter:
             sample_cap=extract.MAX_FRONTEND_POINTS if mode == "sampled" else None,
             geojson_cap=cap if mode == "sampled" else None,
         )
+        # deterministic feature order: collect (pixel_idx, feature)
+        # structs and sort — collect_list alone is shuffle-order-dependent
+        # (same fix sinks.geojson_collection_docs carries)
         feats = (
             geo_pts.filter(F.col("band") == 0)
             .groupBy("image_id")
             .agg(
-                F.collect_list(sinks.geojson_feature_col()).alias("features"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(
+                        F.col("pixel_idx").alias("o"),
+                        sinks.geojson_feature_col().alias("f"),
+                    ))),
+                    lambda s_: s_["f"],
+                ).alias("features"),
                 F.count("*").alias("n"),
             )
         )

@@ -47,7 +47,6 @@ def brute_topk(df: DataFrame, k: int = 5, id_col: str = "vec_id",
 
     def topk(batches):
         ids_, M_, n2_ = b_ids.value, b_M.value, b_n2.value
-        order = np.argsort(ids_, kind="stable")
         for pdf in batches:
             Q = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
             qn2 = pdf["qnorm2"].to_numpy().astype(np.int64)

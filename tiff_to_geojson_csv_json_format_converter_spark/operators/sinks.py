@@ -379,15 +379,19 @@ def json_struct_of_arrays(
 def master_catalog(points: DataFrame, images: DataFrame) -> dict:
     """The master catalog document (doesSamples.py:351-466): one
     aggregation query -> per-file entries (sorted) + overall bounds."""
+    agg = points.groupBy("image_id").agg(
+        F.count("*").alias("points"),
+        F.min("longitude").alias("min_lon"), F.max("longitude").alias("max_lon"),
+        F.min("latitude").alias("min_lat"), F.max("latitude").alias("max_lat"),
+        F.min("elevation").alias("min_z"), F.max("elevation").alias("max_z"),
+    )
+    # LEFT join from the image catalog: all-NoData files contribute zero
+    # points but the reference catalog enumerates every source file
+    # (has_valid_data=false entries, doesSamples.py:351-466)
     per_file = (
-        points.groupBy("image_id")
-        .agg(
-            F.count("*").alias("points"),
-            F.min("longitude").alias("min_lon"), F.max("longitude").alias("max_lon"),
-            F.min("latitude").alias("min_lat"), F.max("latitude").alias("max_lat"),
-            F.min("elevation").alias("min_z"), F.max("elevation").alias("max_z"),
-        )
-        .join(images.select("image_id", "w", "h", "caption"), "image_id")
+        images.select("image_id", "w", "h", "caption")
+        .join(agg, "image_id", "left")
+        .na.fill({"points": 0})
         .orderBy("image_id")  # doesSamples.py:439 sort by source
     ).collect()
     files = []
@@ -408,6 +412,8 @@ def master_catalog(points: DataFrame, images: DataFrame) -> dict:
         for src, dst, fn in (("min_lon", "min_x", min), ("max_lon", "max_x", max),
                              ("min_lat", "min_y", min), ("max_lat", "max_y", max),
                              ("min_z", "min_z", min), ("max_z", "max_z", max)):
+            if d[src] is None:
+                continue  # zero-point file: no bounds to fold
             ob[dst] = d[src] if ob[dst] is None else fn(ob[dst], d[src])
     return {
         "type": "elevation_catalog",

@@ -41,7 +41,13 @@ def salted_repartition(df: DataFrame, key: str = "cell_id", salt_buckets: int = 
                        num_partitions: int | None = None) -> DataFrame:
     """Repartition by (key, salt) to split hot cells across tasks —
     explicit salting for the dense-tile skew the north rule calls out."""
-    salt = F.pmod(F.xxhash64("image_id") if "image_id" in df.columns else F.xxhash64(key), F.lit(salt_buckets))
+    # the salt must vary WITHIN a key group or it splits nothing: hash a
+    # second column when one exists, else a per-row id (placement-only —
+    # no determinism requirement attaches to partition assignment)
+    if "image_id" in df.columns:
+        salt = F.pmod(F.xxhash64("image_id"), F.lit(salt_buckets))
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     df = df.withColumn("_salt", salt)
     parts = [F.col(key), F.col("_salt")]
     out = df.repartition(num_partitions, *parts) if num_partitions else df.repartition(*parts)

@@ -140,11 +140,19 @@ def stats_response(stats_df: DataFrame, layer_name: str, geometry_type: str = "P
     """Serialize to the HTTP contract of SIMPLE_FRONTEND_INTEGRATION.md:153-179
     (``{status, layer, min_max: {band_i: {...}|"Null"}, ...}``)."""
     rows = [r.asDict() for r in stats_df.collect()]
+    # several per-image rows may share a band (zonal_stats output is per
+    # (image, band)): fold them deterministically in image_id order with
+    # the reference's merge rule instead of letting collect order pick
+    # the winner (api.zonal_response pre-merges the same way)
+    by_band: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: str(r.get("image_id", ""))):
+        by_band.setdefault(int(r["band"]), []).append(r)
     min_max: dict = {}
-    for r in rows:
-        min_max[f"band_{int(r['band']) + 1}"] = {
-            "min": r["min"], "max": r["max"], "mean": r["mean"],
-            "std": r["std_pop"], "count": r["count"], "data_type": "float32",
+    for band, grp in by_band.items():
+        merged = combine_stats_reference_quirk(grp) if len(grp) > 1 else grp[0]
+        min_max[f"band_{band + 1}"] = {
+            "min": merged["min"], "max": merged["max"], "mean": merged["mean"],
+            "std": merged["std_pop"], "count": merged["count"], "data_type": "float32",
         }
     if not min_max:
         min_max["band_1"] = "Null"  # empty-intersection sentinel (test2.py:1463-1473)

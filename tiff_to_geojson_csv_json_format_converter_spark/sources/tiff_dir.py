@@ -22,8 +22,15 @@ from . import codecs, synth
 TIFF_GLOB = "*.{tif,tiff,TIF,TIFF}"
 
 
-def read_tiff_dir(spark, path: str):
-    """Load a directory of GeoTIFFs as the engine images table."""
+def read_tiff_dir(spark, path: str, with_phash: bool = True):
+    """Load a directory of GeoTIFFs as the engine images table.
+
+    ``with_phash=False`` keeps the pass metadata-only: the perceptual
+    hash is the one column that forces a FULL pixel decode per file
+    (everything else reads header tags), so catalog-building scans over
+    large archives should defer it (phash=0 placeholder; compute later
+    via a dedicated pass over the ``bytes`` column where dedup needs
+    it)."""
     df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.[tT][iI][fF]*")
@@ -41,7 +48,6 @@ def read_tiff_dir(spark, path: str):
             rows = []
             for p, content in zip(d["path"], d["content"]):
                 meta = codecs.decode_geotiff_meta(content)
-                grid = codecs.decode_tiff(content)
                 transform = meta["transform"] or (1.0, 0.0, 0.0, 0.0, -1.0, 0.0)
                 crs = meta["crs"] or "EPSG:4326"
                 w, h = meta["w"], meta["h"]
@@ -57,7 +63,8 @@ def read_tiff_dir(spark, path: str):
                     "bytes": content,
                     "w": w, "h": h, "fmt": "tiff",
                     "caption": image_id,
-                    "phash": synth.phash64(grid.astype(np.float64)),
+                    "phash": (synth.phash64(codecs.decode_tiff(content).astype(np.float64))
+                              if with_phash else 0),
                     "transform": list(transform),
                     "crs": crs,
                     "nodata": meta["nodata"] if meta["nodata"] is not None else float(codecs.NODATA_F32),

@@ -65,9 +65,14 @@ def sessionize_stateful(
     State per user: (session_start, last_ts, n_events, sum_cents).
     An event more than ``gap_seconds`` after the previous one closes the
     session (emitted with closed=true) and opens a new one; at the end
-    of every batch the still-open session is emitted as a closed=false
-    snapshot (so each event is counted exactly once per run: closed
-    sessions + final snapshots partition the events). No timeout is
+    of EVERY batch the still-open session is emitted as a closed=false
+    snapshot. Consumer contract for the append-only sink: closed=true
+    rows are final; for closed=false rows keep only the LATEST snapshot
+    per (user_id, session_start) — the one with max session_end — since
+    a session spanning k batches leaves k progressively-larger
+    snapshots. Under a single-batch drain (one input file, the
+    AvailableNow default) there is exactly one snapshot per open session
+    and closed sessions + snapshots partition the events. No timeout is
     used: with Trigger.AvailableNow a processing-time timeout would keep
     scheduling state-cleanup batches and the query would never drain.
     """
@@ -96,9 +101,16 @@ def sessionize_stateful(
         start = last = n = cents = None
         if state.exists:
             start, last, n, cents = state.get
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts")
-            for r in pdf.itertuples(index=False):
+        # a group larger than one Arrow chunk arrives as SEVERAL pdfs in
+        # arbitrary shuffle order — concatenate and sort ONCE, or the
+        # gap test runs against out-of-order timestamps
+        chunks = list(pdf_iter)
+        if chunks:
+            merged = pd.concat(chunks, ignore_index=True).sort_values("ts")
+        else:
+            merged = pd.DataFrame()
+        if len(merged):
+            for r in merged.itertuples(index=False):
                 ts_us = int(pd.Timestamp(r.ts).value // 1000)
                 c = int(r.value * 100.0 // 1)
                 if start is None:
