@@ -1273,13 +1273,14 @@ _SESSIONS_SQL = """
     ),
     s AS (
         SELECT user_id, sid,
-               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               MIN(tus) AS start_us, MAX(tus) AS end_us,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(cents) AS BIGINT) AS sum_cents
         FROM isl GROUP BY user_id, sid
     ),
     mx AS (SELECT user_id, MAX(sid) AS max_sid FROM s GROUP BY user_id)
-    SELECT s.user_id, s.session_start, s.session_end, s.n_events,
+    SELECT s.user_id, CAST(s.start_us AS BIGINT) AS start_us,
+           CAST(s.end_us AS BIGINT) AS end_us, s.n_events,
            s.sum_cents, (s.sid <> mx.max_sid) AS closed
     FROM s JOIN mx ON s.user_id = mx.user_id
 """
@@ -1312,7 +1313,12 @@ def q_stateful_sessions(spark, sf_dir):
         spark, ev_dir, f"{d}/out", f"{d}/ck", gap_seconds=1800
     )
     q.awaitTermination(600)
-    return spark.read.parquet(f"{d}/out")
+    return spark.read.parquet(f"{d}/out").select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events", "sum_cents", "closed",
+    )
 
 
 def _media_oracle_sql(n: int = 64, feat_dim: int = 8) -> str:
@@ -1662,7 +1668,7 @@ def q_cell_cover_join(spark, sf_dir):
 @_register(
     "events_windowed",
     """
-    SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
+    SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(FLOOR(value * 100.0e0) AS BIGINT)) AS BIGINT) AS sum_cents
@@ -1674,8 +1680,13 @@ def q_events_windowed(spark, sf_dir):
     """G: the watermarked tumbling-window aggregation
     (streaming.incremental.windowed_event_counts) run in batch mode —
     identical plan to the readStream form (watermark is a no-op on
-    bounded input), giving the streaming operator a hard SQL oracle."""
+    bounded input), giving the streaming operator a hard SQL oracle.
+    Timestamps cross the engine boundary as epoch-seconds longs (raw
+    TIMESTAMP rendering is not canonicalization-safe between engines)."""
     from ..streaming import incremental
 
     ev = _load(spark, sf_dir, "events")
-    return incremental.windowed_event_counts(ev)
+    return incremental.windowed_event_counts(ev).select(
+        F.unix_timestamp("window_start").cast("long").alias("window_start_s"),
+        "event_type", "n", "sum_cents",
+    )
