@@ -311,3 +311,20 @@ def test_classify_cells_interior_conservative_exact():
         x = rng.uniform(box[0], box[2], 64)
         y = rng.uniform(box[1], box[3], 64)
         assert geometry.points_in_polygon(x, y, rings).all()
+
+
+def test_center_sample_ring_reference_semantics():
+    """D5: miss-everything fallback square — center placement, 10% of the
+    smaller extent, reference vertex order (test2.py:1246-1256)."""
+    import numpy as np
+
+    from tiff_to_geojson_csv_json_format_converter_spark.functions import geometry
+
+    ring = geometry.center_sample_ring((0.0, 0.0, 10.0, 4.0))
+    assert np.allclose(ring[0], (5.0 - 0.2, 2.0 - 0.2))
+    assert np.allclose(ring[2], (5.2, 2.2))
+    assert np.array_equal(ring[0], ring[-1])
+    # every vertex inside the raster bounds, area = (0.1*4)^2
+    xs, ys = ring[:, 0], ring[:, 1]
+    assert xs.min() >= 0 and xs.max() <= 10 and ys.min() >= 0 and ys.max() <= 4
+    assert abs((xs.max() - xs.min()) * (ys.max() - ys.min()) - 0.16) < 1e-12

@@ -229,3 +229,23 @@ def normalize_geometry(obj: Any) -> list[list[list[float]]]:
             out.extend([[float(p[0]), float(p[1])] for p in ring] for ring in poly)
         return out
     raise ValueError(f"unsupported geometry type {t!r}")
+
+
+def center_sample_ring(raster_bounds: tuple, frac: float = 0.1) -> np.ndarray:
+    """D5 compatibility op (test2.py:1246-1256): when a query polygon
+    misses the raster entirely, the reference substitutes a square of
+    side ``frac * min(width, height)`` at the raster center. Returns the
+    closed 5-vertex ring with the reference's exact vertex order and
+    arithmetic (center ± sample_size/2)."""
+    min_x, min_y, max_x, max_y = (float(v) for v in raster_bounds)
+    center_x = (min_x + max_x) / 2
+    center_y = (min_y + max_y) / 2
+    sample_size = min(max_x - min_x, max_y - min_y) * frac
+    h = sample_size / 2
+    return np.array([
+        (center_x - h, center_y - h),
+        (center_x + h, center_y - h),
+        (center_x + h, center_y + h),
+        (center_x - h, center_y + h),
+        (center_x - h, center_y - h),
+    ])
