@@ -107,3 +107,36 @@ def test_stride_sampling_count(total, cap):
     idx = np.arange(0, total, rate)
     assert len(idx) == -(-total // rate)
     assert idx[0] == 0 and (np.diff(idx) == rate).all()
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    pat=st.text(alphabet="ab.*?_%\\", max_size=8),
+    s=st.text(alphabet="ab.*?_%\\", max_size=12),
+)
+def test_glob_to_like_matches_fnmatch(pat, s):
+    """glob_to_like must give SQL LIKE semantics identical to fnmatch for
+    the * and ? metacharacters (escaping %, _ and \\ literals)."""
+    import fnmatch
+    import re
+
+    from tiff_to_geojson_csv_json_format_converter_spark.sources import multiroot
+
+    like = multiroot.glob_to_like(pat)
+    # reference LIKE evaluator: % -> .*, _ -> ., backslash escapes
+    rx = []
+    i = 0
+    while i < len(like):
+        ch = like[i]
+        if ch == "\\" and i + 1 < len(like):
+            rx.append(re.escape(like[i + 1])); i += 2; continue
+        if ch == "%":
+            rx.append(".*")
+        elif ch == "_":
+            rx.append(".")
+        else:
+            rx.append(re.escape(ch))
+        i += 1
+    like_match = re.fullmatch("".join(rx), s, flags=re.DOTALL) is not None
+    want = fnmatch.fnmatchcase(s, pat)
+    assert like_match == want

@@ -109,7 +109,9 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold_e6: int = 500_000,
         .withColumn("sh_set", F.transform("ordered", lambda x: x["sh64"]))
         .withColumn("prefix", F.slice("sh_set", 1, F.col("prefix_len")))
         .drop("ordered")
-    ).cache()
+    ).cache()  # 4 downstream consumers; session-lifetime cache is the
+    # deliberate tradeoff (Spark evicts LRU under pressure) — callers
+    # looping many corpora can spark.catalog.clearCache() between runs
     a = per_doc.select(
         F.col(id_col).alias("doc_a"), *extra,
         F.col("set_size").alias("size_a"),
