@@ -127,3 +127,61 @@ def test_analyze_bounds_match_oracle(spark, images_pdf, images_sdf):
     assert got["valid_pixels"].tolist() == want["valid_pixels"].tolist()
     for c in want.columns[1:]:
         np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+
+
+def test_windowed_read_exact_across_central_meridian(spark):
+    """A4 regression: a bbox SPANNING the UTM central meridian — where
+    constant-latitude edges curve in pixel space and corner-only window
+    mapping drops in-bbox rows — must still equal full-then-filter."""
+    import numpy as np
+
+    from tiff_to_geojson_csv_json_format_converter_spark.sources import codecs, synth
+
+    w, h = 520, 60
+    rng = np.random.default_rng(21)
+    grid = (rng.random((h, w)) * 500 + 100).astype(np.float32)
+    # 1 km pixels spanning easting 245k..765k (lon0=75 for EPSG:32643);
+    # at ±2.4° of the meridian the constant-lat edge dips ~2.3 px below
+    # its corners — verified numerically to exceed the old corner-only
+    # window's +1.5 px pad (rows dropped pre-fix)
+    transform = [1000.0, 0.0, 245000.0, 0.0, -1000.0, 3140000.0]
+    row = {
+        "image_id": "meridian_img", "bytes": codecs.encode(grid, "raw_f32"),
+        "w": w, "h": h, "fmt": "raw_f32", "caption": "x", "phash": 0,
+        "transform": transform, "crs": "EPSG:32643",
+        "nodata": float(codecs.NODATA_F32), "band_count": 1,
+        "min_lon": 0.0, "min_lat": 0.0, "max_lon": 0.0, "max_lat": 0.0,
+    }
+    df = spark.createDataFrame([tuple(row.values())], schema=synth.ARROW_SCHEMA_DDL)
+    bbox = (72.6, 27.9, 77.4, 28.3)  # spans lon0 = 75 by ±2.4°
+    got = extract.extract_points(df, valid_only=True, bbox=bbox).toPandas()
+    full = extract.extract_points(df, valid_only=True).toPandas()
+    want = full[
+        (full.longitude >= bbox[0]) & (full.longitude <= bbox[2])
+        & (full.latitude >= bbox[1]) & (full.latitude <= bbox[3])
+    ]
+    assert sorted(got.pixel_idx) == sorted(want.pixel_idx)
+    assert 0 < len(got) < len(full)
+
+
+def test_windowed_geojson_cap_equals_full_then_filter(spark, images_sdf):
+    """C2 + A4: the geojson stride must run on the full sample-capped
+    sequence so a pushed-down bbox selects a SUBSET of the full path's
+    pixels, never a re-strided different set."""
+    bbox = (77.05, 28.05, 77.3, 28.3)
+    got = extract.extract_points(
+        images_sdf, valid_only=True, bbox=bbox, geojson_cap=50
+    ).toPandas()
+    full = extract.extract_points(
+        images_sdf, valid_only=True, geojson_cap=50
+    ).toPandas()
+    want = full[
+        (full.longitude >= bbox[0]) & (full.longitude <= bbox[2])
+        & (full.latitude >= bbox[1]) & (full.latitude <= bbox[3])
+    ]
+    got_f = got[
+        (got.longitude >= bbox[0]) & (got.longitude <= bbox[2])
+        & (got.latitude >= bbox[1]) & (got.latitude <= bbox[3])
+    ]
+    key = lambda d: sorted(zip(d.image_id, d.band, d.pixel_idx))
+    assert key(got_f) == key(want)

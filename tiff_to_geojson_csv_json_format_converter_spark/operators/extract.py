@@ -80,20 +80,27 @@ def _extract_image(
     else:
         rate = 1
     idx = np.arange(0, total, rate, dtype=np.int64)
+    # geojson stride runs on the FULL sample-capped index sequence, the
+    # window filter after it: a pushed-down window must select a SUBSET
+    # of the pixels the full-extract path would select (full-extract-
+    # then-filter equivalence), not re-stride within the window
+    if geojson_cap is not None and len(idx) > geojson_cap:
+        geo_rate = len(idx) // geojson_cap  # doesSamples.py:146-148
+        idx = idx[np.arange(0, len(idx), geo_rate)]
     if window is not None:
         r0, r1, c0, c1 = (int(v) for v in window)
         wr = idx // w
         wc = idx % w
         idx = idx[(wr >= r0) & (wr < r1) & (wc >= c0) & (wc < c1)]
-    if geojson_cap is not None and len(idx) > geojson_cap:
-        geo_rate = len(idx) // geojson_cap  # doesSamples.py:146-148
-        idx = idx[np.arange(0, len(idx), geo_rate)]
     rows = idx // w
     cols = idx % w
-    a, b, c, d, e, f = (float(v) for v in transform)
-    # affine at pixel centers (rasterio.transform.xy convention)
-    x = (c + a * (cols + 0.5) + b * (rows + 0.5)).astype(np.float32)
-    y = (f + d * (cols + 0.5) + e * (rows + 0.5)).astype(np.float32)
+    # affine at pixel centers (rasterio.transform.xy convention) — the
+    # shared kernel, float32 downcast AFTER (doesSamples.py:50-52 quirk)
+    from ..functions import affine as _affine
+
+    xf, yf = _affine.pixel_to_world(transform, rows, cols)
+    x = xf.astype(np.float32)
+    y = yf.astype(np.float32)
     lon, lat = projection.to_wgs84(x.astype(np.float64), y.astype(np.float64), crs)
     for band in range(band_count):
         z = grid[band].reshape(-1)[idx].astype(np.float32)
@@ -145,8 +152,22 @@ def extract_points(
         from ..functions import projection as _projection
 
         min_lon, min_lat, max_lon, max_lat = bbox
-        lons = np.array([min_lon, max_lon, min_lon, max_lon])
-        lats = np.array([min_lat, min_lat, max_lat, max_lat])
+        # densified boundary, not just 4 corners: projected parallels/
+        # meridians are CURVED in pixel space (transverse Mercator
+        # northing along a constant-lat edge is minimal at the central
+        # meridian), so the pixel-window extremes can sit in an edge's
+        # interior — corner-only mapping silently dropped in-bbox rows
+        t = np.linspace(0.0, 1.0, 33)
+        lon_edge = min_lon + (max_lon - min_lon) * t
+        lat_edge = min_lat + (max_lat - min_lat) * t
+        lons = np.concatenate([
+            lon_edge, lon_edge,
+            np.full_like(t, min_lon), np.full_like(t, max_lon),
+        ])
+        lats = np.concatenate([
+            np.full_like(t, min_lat), np.full_like(t, max_lat),
+            lat_edge, lat_edge,
+        ])
         xs, ys = _projection.from_wgs84(lons, lats, crs)
         rr, cc = _affine.world_to_pixel(transform, xs, ys)
         r0 = max(0, int(np.floor(rr.min() - 0.5)))
@@ -199,20 +220,25 @@ def extract_points(
                             & (bb >= _mn_lat) & (bb <= _mx_lat)
                         )
                         bi, bl, bb, bz = bi[m], bl[m], bb[m], bz[m]
-                    n = len(bi)
-                    if n == 0:
+                    if len(bi) == 0:
                         continue
-                    out_ids.append((tbl["image_id"][j], n))
-                    bufs["band"].append(np.full(n, band, dtype=np.int64))
-                    bufs["pixel_idx"].append(bi)
-                    bufs["lon"].append(bl)
-                    bufs["lat"].append(bb)
-                    bufs["z"].append(bz)
-                    n_buf += n
-                    if n_buf >= _BATCH_ROWS:
-                        rb = flush()
-                        if rb is not None:
-                            yield rb
+                    # chunk oversized bands BEFORE buffering — one
+                    # 4096x4096 band would otherwise blow the ~256k-row
+                    # batch cap 64x in a single append
+                    for lo in range(0, len(bi), _BATCH_ROWS):
+                        sl = slice(lo, lo + _BATCH_ROWS)
+                        n = len(bi[sl])
+                        out_ids.append((tbl["image_id"][j], n))
+                        bufs["band"].append(np.full(n, band, dtype=np.int64))
+                        bufs["pixel_idx"].append(bi[sl])
+                        bufs["lon"].append(bl[sl])
+                        bufs["lat"].append(bb[sl])
+                        bufs["z"].append(bz[sl])
+                        n_buf += n
+                        if n_buf >= _BATCH_ROWS:
+                            rb = flush()
+                            if rb is not None:
+                                yield rb
         rb = flush()
         if rb is not None:
             yield rb

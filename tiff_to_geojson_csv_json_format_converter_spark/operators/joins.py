@@ -47,9 +47,11 @@ def clip_points(points: DataFrame, rings: list, lon_col: str = "longitude", lat_
     pushed to the scan) then exact PIP refinement (Arrow UDF) — the
     engine form of ``rasterio.mask.mask(..., crop=True)`` center
     containment (test2.py:1272)."""
-    shell = np.asarray(rings[0], dtype=np.float64)
-    min_lon, min_lat = float(shell[:, 0].min()), float(shell[:, 1].min())
-    max_lon, max_lat = float(shell[:, 0].max()), float(shell[:, 1].max())
+    # bbox over ALL rings: a flattened MultiPolygon (normalize_geometry)
+    # puts disjoint shells after rings[0]; the prefilter must cover them
+    allv = np.vstack([np.asarray(r, dtype=np.float64) for r in rings])
+    min_lon, min_lat = float(allv[:, 0].min()), float(allv[:, 1].min())
+    max_lon, max_lat = float(allv[:, 0].max()), float(allv[:, 1].max())
     boxed = points.filter(
         (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon)
         & (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat)

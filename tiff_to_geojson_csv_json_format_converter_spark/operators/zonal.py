@@ -52,8 +52,11 @@ def zonal_stats_fused(images: DataFrame, rings: list, polygon_id: str = "poly") 
     from . import extract as _extract
 
     rings_arr = [np.asarray(r, dtype=np.float64) for r in rings]
-    shell = rings_arr[0]
-    p_bbox = (shell[:, 0].min(), shell[:, 1].min(), shell[:, 0].max(), shell[:, 1].max())
+    # prefilter bbox over ALL rings: normalize_geometry flattens
+    # MultiPolygon parts into one ring list, so rings[0] alone would
+    # skip images that overlap only a later disjoint shell
+    allv = np.vstack(rings_arr)
+    p_bbox = (allv[:, 0].min(), allv[:, 1].min(), allv[:, 0].max(), allv[:, 1].max())
     cols = ["image_id", "bytes", "w", "h", "fmt", "transform", "crs", "band_count",
             "min_lon", "min_lat", "max_lon", "max_lat"]
     src = images.select(*cols)
@@ -115,6 +118,12 @@ def zonal_stats_multi(points: DataFrame, polygons: list[dict]) -> DataFrame:
     """Many polygons at once: unioned per-polygon clips (each polygon's
     bbox predicate still prunes independently). For large polygon layers
     prefer the cell-cover equi-join in ``tiling.cover_join``."""
+    if not polygons:
+        return points.sparkSession.createDataFrame(
+            [],
+            "polygon_id string, image_id string, band int, min double, "
+            "max double, mean double, std_pop double, count long",
+        )
     parts = [zonal_stats(points, p["rings"], p["polygon_id"]) for p in polygons]
     out = parts[0]
     for p in parts[1:]:
