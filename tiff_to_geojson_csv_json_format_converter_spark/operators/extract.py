@@ -73,25 +73,42 @@ def _extract_image(
     test2.py:1322-1338's pixel-window clip): only the window's pixels
     are transformed, the reference's crop=True economy.
     """
-    grid = codecs.decode(buf, fmt, w, h * band_count).reshape(band_count, h, w)
     total = h * w
     if sample_cap is not None and total > sample_cap:
         rate = total // sample_cap  # doesSamples.py:76
     else:
         rate = 1
-    idx = np.arange(0, total, rate, dtype=np.int64)
-    # geojson stride runs on the FULL sample-capped index sequence, the
-    # window filter after it: a pushed-down window must select a SUBSET
-    # of the pixels the full-extract path would select (full-extract-
-    # then-filter equivalence), not re-stride within the window
-    if geojson_cap is not None and len(idx) > geojson_cap:
-        geo_rate = len(idx) // geojson_cap  # doesSamples.py:146-148
-        idx = idx[np.arange(0, len(idx), geo_rate)]
-    if window is not None:
+    if window is None or geojson_cap is not None:
+        idx = np.arange(0, total, rate, dtype=np.int64)
+        # geojson stride runs on the FULL sample-capped index sequence,
+        # the window filter after it: a pushed-down window must select a
+        # SUBSET of the pixels the full-extract path would select
+        # (full-extract-then-filter equivalence), never re-stride
+        if geojson_cap is not None and len(idx) > geojson_cap:
+            geo_rate = len(idx) // geojson_cap  # doesSamples.py:146-148
+            idx = idx[np.arange(0, len(idx), geo_rate)]
+        if window is not None:
+            r0, r1, c0, c1 = (int(v) for v in window)
+            wr = idx // w
+            wc = idx % w
+            idx = idx[(wr >= r0) & (wr < r1) & (wc >= c0) & (wc < c1)]
+    else:
+        # window-proportional index generation: the set {i in window :
+        # i % rate == 0} built row by row — never an O(w*h) arange when
+        # only a small window is read (the crop=True economy for real)
         r0, r1, c0, c1 = (int(v) for v in window)
-        wr = idx // w
-        wc = idx % w
-        idx = idx[(wr >= r0) & (wr < r1) & (wc >= c0) & (wc < c1)]
+        r0, r1 = max(r0, 0), min(r1, h)
+        c0, c1 = max(c0, 0), min(c1, w)
+        pieces = []
+        for row in range(r0, r1):
+            base = row * w
+            start = base + c0 + (-(base + c0)) % rate
+            if start < base + c1:
+                pieces.append(np.arange(start, base + c1, rate, dtype=np.int64))
+        idx = np.concatenate(pieces) if pieces else np.empty(0, dtype=np.int64)
+    if len(idx) == 0:
+        return  # empty window: skip the decode entirely
+    grid = codecs.decode(buf, fmt, w, h * band_count).reshape(band_count, h, w)
     rows = idx // w
     cols = idx % w
     # affine at pixel centers (rasterio.transform.xy convention) — the
@@ -117,6 +134,41 @@ def _extract_image(
             bb = np.round(bb, 6)
             bz = np.round(bz, 2)
         yield band, bi, bl, bb, bz.astype(np.float64)
+
+
+def bbox_pixel_window(transform, crs, w: int, h: int, bbox: tuple) -> tuple:
+    """Map a lon/lat bbox to the (r0, r1, c0, c1) pixel window covering
+    it (half-open, clamped, +1.5px pad).
+
+    The bbox boundary is DENSIFIED (33 samples/edge), not just 4
+    corners: projected parallels/meridians are curved in pixel space
+    (transverse Mercator northing along a constant-lat edge is minimal
+    at the central meridian), so window extremes can sit in an edge's
+    interior — corner-only mapping silently dropped in-bbox rows
+    (regression: tests/test_extract.py meridian test, 2.3px dip).
+    """
+    from ..functions import affine as _affine
+    from ..functions import projection as _projection
+
+    min_lon, min_lat, max_lon, max_lat = bbox
+    t = np.linspace(0.0, 1.0, 33)
+    lon_edge = min_lon + (max_lon - min_lon) * t
+    lat_edge = min_lat + (max_lat - min_lat) * t
+    lons = np.concatenate([
+        lon_edge, lon_edge,
+        np.full_like(t, min_lon), np.full_like(t, max_lon),
+    ])
+    lats = np.concatenate([
+        np.full_like(t, min_lat), np.full_like(t, max_lat),
+        lat_edge, lat_edge,
+    ])
+    xs, ys = _projection.from_wgs84(lons, lats, crs)
+    rr, cc = _affine.world_to_pixel(transform, xs, ys)
+    r0 = max(0, int(np.floor(rr.min() - 0.5)))
+    r1 = min(h, int(np.ceil(rr.max() + 1.5)))
+    c0 = max(0, int(np.floor(cc.min() - 0.5)))
+    c1 = min(w, int(np.ceil(cc.max() + 1.5)))
+    return (r0, r1, c0, c1)
 
 
 def extract_points(
@@ -148,33 +200,7 @@ def extract_points(
     def _window_for(transform, crs, w, h):
         if bbox is None:
             return None
-        from ..functions import affine as _affine
-        from ..functions import projection as _projection
-
-        min_lon, min_lat, max_lon, max_lat = bbox
-        # densified boundary, not just 4 corners: projected parallels/
-        # meridians are CURVED in pixel space (transverse Mercator
-        # northing along a constant-lat edge is minimal at the central
-        # meridian), so the pixel-window extremes can sit in an edge's
-        # interior — corner-only mapping silently dropped in-bbox rows
-        t = np.linspace(0.0, 1.0, 33)
-        lon_edge = min_lon + (max_lon - min_lon) * t
-        lat_edge = min_lat + (max_lat - min_lat) * t
-        lons = np.concatenate([
-            lon_edge, lon_edge,
-            np.full_like(t, min_lon), np.full_like(t, max_lon),
-        ])
-        lats = np.concatenate([
-            np.full_like(t, min_lat), np.full_like(t, max_lat),
-            lat_edge, lat_edge,
-        ])
-        xs, ys = _projection.from_wgs84(lons, lats, crs)
-        rr, cc = _affine.world_to_pixel(transform, xs, ys)
-        r0 = max(0, int(np.floor(rr.min() - 0.5)))
-        r1 = min(h, int(np.ceil(rr.max() + 1.5)))
-        c0 = max(0, int(np.floor(cc.min() - 0.5)))
-        c1 = min(w, int(np.ceil(cc.max() + 1.5)))
-        return (r0, r1, c0, c1)
+        return bbox_pixel_window(transform, crs, w, h, bbox)
 
     def run(batches: Iterator) -> Iterator:
         import pyarrow as pa

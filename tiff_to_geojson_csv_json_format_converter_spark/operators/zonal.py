@@ -73,10 +73,18 @@ def zonal_stats_fused(images: DataFrame, rings: list, polygon_id: str = "poly") 
                 i_bbox = (tbl["min_lon"][j], tbl["min_lat"][j], tbl["max_lon"][j], tbl["max_lat"][j])
                 if not _geometry.bbox_intersects(i_bbox, p_bbox):
                     continue  # bbox prefilter: skip the decode entirely
+                # window pushdown: only the polygon-bbox pixel window is
+                # extracted — points outside it cannot be in the polygon,
+                # so the PIP result is unchanged while a small polygon on
+                # a large raster decodes/transforms ~overlap, not ~image
+                win = _extract.bbox_pixel_window(
+                    tbl["transform"][j], tbl["crs"][j], tbl["w"][j], tbl["h"][j],
+                    (p_bbox[0], p_bbox[1], p_bbox[2], p_bbox[3]),
+                )
                 for band, bi, bl, bb, bz in _extract._extract_image(
                     tbl["image_id"][j], tbl["bytes"][j], tbl["w"][j], tbl["h"][j],
                     tbl["fmt"][j], tbl["transform"][j], tbl["crs"][j],
-                    tbl["band_count"][j], True, None, None, True,
+                    tbl["band_count"][j], True, None, None, True, window=win,
                 ):
                     if len(bi) == 0:
                         continue
