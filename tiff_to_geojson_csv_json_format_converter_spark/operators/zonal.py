@@ -96,15 +96,19 @@ def zonal_stats_fused(images: DataFrame, rings: list, polygon_id: str = "poly") 
                                  float(z.sum()), float((z * z).sum()),
                                  float(z.min()), float(z.max())))
             if rows:
-                import pandas as pd
-
-                yield pa.RecordBatch.from_pandas(
-                    pd.DataFrame(rows, columns=["image_id", "band", "n", "s", "s2", "mn", "mx"])
-                ).cast(pa.schema([
-                    ("image_id", pa.string()), ("band", pa.int32()), ("n", pa.int64()),
-                    ("s", pa.float64()), ("s2", pa.float64()),
-                    ("mn", pa.float64()), ("mx", pa.float64()),
-                ]))
+                cols_t = list(zip(*rows))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(cols_t[0], type=pa.string()),
+                        pa.array(cols_t[1], type=pa.int32()),
+                        pa.array(cols_t[2], type=pa.int64()),
+                        pa.array(cols_t[3], type=pa.float64()),
+                        pa.array(cols_t[4], type=pa.float64()),
+                        pa.array(cols_t[5], type=pa.float64()),
+                        pa.array(cols_t[6], type=pa.float64()),
+                    ],
+                    names=["image_id", "band", "n", "s", "s2", "mn", "mx"],
+                )
 
     partials = src.mapInArrow(run, schema)
     g = partials.groupBy("image_id", "band").agg(
