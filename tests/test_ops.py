@@ -285,3 +285,45 @@ def test_ivf_distributed_training_exact_in_exhaustive_mode(spark):
     want = similarity.brute_topk(emb, k=3).toPandas()
     key = lambda d: sorted(map(tuple, d[["query_id", "rank", "neighbor_id"]].to_numpy()))
     assert key(got) == key(want)
+
+
+@pytest.mark.parametrize("threshold_e6", [300_000, 500_000, 800_000])
+def test_jaccard_pairs_equals_bruteforce(spark, threshold_e6):
+    """PPJoin prefix+positional filtering must reproduce the naive
+    all-pairs answer exactly — adversarial corpus: empty text, sub-n
+    text, exact duplicates, near-dups, disjoint vocab."""
+    n = 3
+    docs = [
+        (0, "", "s"), (1, "ab", "s"), (2, "abcabc", "s"), (3, "abcabc", "s"),
+        (4, "abcabd", "s"), (5, "xyzxyzxyz", "s"), (6, "abcxyz", "s"),
+        (7, "aaaaaaaa", "s"), (8, "aaabaaab", "s"), (9, "the quick brown fox", "s"),
+        (10, "the quick brown fax", "s"), (11, "zzzz", "t"),  # other block
+        (12, "zzzz", "t"), (13, "abcabc", "t"),
+    ]
+    got = dedup.jaccard_pairs(
+        spark.createDataFrame(docs, "doc_id long, text string, source string"),
+        n=n, threshold_e6=threshold_e6, block_col="source",
+    ).toPandas()
+    got_set = {(r.doc_a, r.doc_b): (r.n_inter, r.n_union, r.jaccard_e6)
+               for r in got.itertuples(index=False)}
+
+    def shingle_set(t):
+        if len(t) < n:
+            return {t[i:i + n] for i in range(max(len(t) - n + 1, 1))}
+        return {t[i:i + n] for i in range(len(t) - n + 1)}
+
+    want = {}
+    for i, (ida, ta, sa) in enumerate(docs):
+        for idb, tb, sb in docs[i + 1:]:
+            if sa != sb:
+                continue
+            A, B = shingle_set(ta), shingle_set(tb)
+            if not A or not B:
+                continue
+            inter = len(A & B)
+            union = len(A | B)
+            j_e6 = int(np.floor(inter / union * 1e6))
+            if j_e6 >= threshold_e6:
+                lo, hi = min(ida, idb), max(ida, idb)
+                want[(lo, hi)] = (inter, union, j_e6)
+    assert got_set == want, (sorted(got_set), sorted(want))
