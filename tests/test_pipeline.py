@@ -169,6 +169,32 @@ class TestCatalogResume:
         snaps = cat.snapshots()
         assert [s["snapshot_id"] for s in snaps] == ["snap-001", "snap-002", "snap-003"]
 
+    def test_bool_partition_keys_write_all_rows(self, spark, tmp_path):
+        # regression: Python str(True) = 'True' but Spark's cast renders
+        # 'true'; the old string-rendered pending filter matched nothing,
+        # wrote no files, yet recorded the partition complete (0 rows) —
+        # silent data loss that resume never repaired
+        root = str(tmp_path / "catbool")
+        df = spark.range(100).withColumn("flag", (F_col("id") % 2 == 0))
+        cat = ParquetCatalog(spark, root)
+        r1 = cat.run_partitioned_job(df, "flag", "snap-b1")
+        assert set(r1["written"]) == {"true", "false"}
+        assert cat.read().count() == 100
+        # resume skips both engine-rendered keys
+        r2 = cat.run_partitioned_job(df, "flag", "snap-b2")
+        assert not r2["written"]
+        assert set(r2["skipped"]) == {"true", "false"}
+
+    def test_empty_requested_partition_records_zero_rows(self, spark, tmp_path):
+        root = str(tmp_path / "catempty")
+        df = spark.range(10).withColumn("part_key", (F_col("id") % 2).cast("string"))
+        cat = ParquetCatalog(spark, root)
+        r1 = cat.run_partitioned_job(df, "part_key", "snap-e1", parts=["0", "1", "9"])
+        assert set(r1["written"]) == {"0", "1", "9"}
+        done = cat.completed_parts()
+        assert "9" in done  # legitimately-empty partition has 0-row lineage
+        assert cat.read().count() == 10
+
 
 def F_col(name):
     from pyspark.sql import functions as F

@@ -67,11 +67,13 @@ def clip_points_union(points: DataFrame, polygons: list,
     (Catalyst, scan-pushed) then OR-of-even-odd PIP refinement in one
     Arrow pass. No merged geometry is materialized; overlapping regions
     are counted once."""
-    shells = [np.asarray(p[0], dtype=np.float64) for p in polygons]
-    min_lon = min(float(s[:, 0].min()) for s in shells)
-    max_lon = max(float(s[:, 0].max()) for s in shells)
-    min_lat = min(float(s[:, 1].min()) for s in shells)
-    max_lat = max(float(s[:, 1].max()) for s in shells)
+    # bbox over ALL rings of every polygon: a flattened MultiPolygon ring
+    # list (normalize_geometry output) puts disjoint shells after index 0,
+    # so a shells-only prefilter would drop their points (same bug class
+    # fixed in clip_points)
+    allv = np.vstack([np.asarray(r, dtype=np.float64) for p in polygons for r in p])
+    min_lon, min_lat = float(allv[:, 0].min()), float(allv[:, 1].min())
+    max_lon, max_lat = float(allv[:, 0].max()), float(allv[:, 1].max())
     boxed = points.filter(
         (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon)
         & (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat)

@@ -138,16 +138,36 @@ def spherical_kmeans_distributed(df: DataFrame, n_centroids: int, iters: int,
     per centroid (``aggregate``/``zip_with``, pure JVM) -> tiny
     (n_centroids x dim) collect -> renormalize. Shuffle volume is
     O(batches x centroids x dim), never O(rows); this trains on the FULL
-    corpus where the sample trainer caps at 4096 rows. Init is the
-    deterministic first-n_centroids by id.
+    corpus where the sample trainer caps at 4096 rows. Init is the first
+    n_centroids DISTINCT vectors by id (duplicate init vectors tie every
+    argmax to the lowest index, permanently starving the duplicates);
+    clusters that receive no points are reseeded from a deterministic
+    perturbation of the largest cluster's centroid, so the effective
+    codebook never silently shrinks.
     """
     import numpy as np
 
-    init = df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).toPandas()
-    C = np.stack(init[vec_col].to_numpy()).astype(np.float64)
-    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    spark = df.sparkSession
+    # over-fetch so duplicate vectors can be skipped deterministically
+    init = df.select(id_col, vec_col).orderBy(id_col) \
+        .limit(max(4 * n_centroids, 64)).toPandas()
+    V0 = np.stack(init[vec_col].to_numpy()).astype(np.float64)
+    V0 = V0 / np.maximum(np.linalg.norm(V0, axis=1, keepdims=True), 1e-12)
+    seen: list = []
+    for v in V0:
+        if not any(np.array_equal(v, s) for s in seen):
+            seen.append(v)
+        if len(seen) == n_centroids:
+            break
+    C = np.stack(seen)
     dim = C.shape[1]
+    while len(C) < n_centroids:
+        # corpus has fewer distinct directions than centroids: pad with
+        # deterministic perturbations (renormalized) of the first vector
+        e = np.zeros(dim)
+        e[len(C) % dim] = 1e-4
+        pad = C[0] + e
+        C = np.vstack([C, pad / np.linalg.norm(pad)])
+    spark = df.sparkSession
     for _ in range(iters):
         b_C = spark.sparkContext.broadcast(C)
 
@@ -179,11 +199,26 @@ def spherical_kmeans_distributed(df: DataFrame, n_centroids: int, iters: int,
             .collect()
         )
         b_C.unpersist()
+        counts = np.zeros(len(C), dtype=np.int64)
+        biggest_sum = None
         for r in agg:
             s = np.asarray(r["sum_vec"], dtype=np.float64)
             nrm = np.linalg.norm(s)
+            counts[r["centroid"]] = r["n"]
             if nrm > 1e-12:
                 C[r["centroid"]] = s / nrm
+            if biggest_sum is None or r["n"] > biggest_sum[0]:
+                biggest_sum = (r["n"], s)
+        # reseed clusters that received no points: a deterministic
+        # perturbation of the LARGEST cluster's (unnormalized) mean —
+        # next iteration it peels points off that cluster instead of
+        # freezing a stale centroid forever
+        if biggest_sum is not None:
+            for c in np.flatnonzero(counts == 0):
+                e = np.zeros(dim)
+                e[int(c) % dim] = 1e-3 * (1 + int(c) // dim)
+                v = biggest_sum[1] / max(np.linalg.norm(biggest_sum[1]), 1e-12) + e
+                C[c] = v / np.linalg.norm(v)
     return C
 
 

@@ -90,14 +90,28 @@ class ParquetCatalog:
         _progress and skipped on resume. Dynamic overwrite keeps re-done
         partitions idempotent (each replaces only its own directory).
         """
+        # progress keys use the ENGINE's string rendering (cast to string),
+        # never Python str(): the two disagree for bool ('true' vs 'True'),
+        # decimals, timestamps — a mismatched key made the pending filter
+        # select nothing while lineage recorded the partition complete.
+        rendered = {
+            r["pk"]: r["pks"]
+            for r in df.select(
+                F.col(part_col).alias("pk"),
+                F.col(part_col).cast("string").alias("pks"),
+            ).distinct().collect()
+        }
         if parts is None:
-            parts = [r[0] for r in df.select(part_col).distinct().collect()]
+            parts = list(rendered.keys())
+        present = set(rendered.keys())
+        key_of = lambda p: rendered.get(p, str(p))  # noqa: E731  (str only for parts absent from df, which write 0 rows)
         done = self.completed_parts()
-        todo = [p for p in parts if str(p) not in done]
+        todo = [p for p in parts if key_of(p) not in done]
         written: list[str] = []
         for i in range(0, len(todo), max(checkpoint_every, 1)):
             written += self._write_bulk(
-                df, part_col, todo[i:i + max(checkpoint_every, 1)], snapshot_id
+                df, part_col, todo[i:i + max(checkpoint_every, 1)],
+                snapshot_id, key_of, present,
             )
         self._write_snapshot(
             snapshot_id,
@@ -107,7 +121,7 @@ class ParquetCatalog:
         return {"written": written, "skipped": sorted(done.keys())}
 
     def _write_bulk(self, df: DataFrame, part_col: str, todo: list,
-                    snapshot_id: str) -> list[str]:
+                    snapshot_id: str, key_of, present: set) -> list[str]:
         """All pending partitions in ONE dynamic-overwrite write + ONE
         verification aggregate.
 
@@ -122,8 +136,9 @@ class ParquetCatalog:
         one).
         """
         t0 = time.perf_counter()
-        todo_set = {str(p) for p in todo}
-        pend = df.filter(F.col(part_col).cast("string").isin(list(todo_set)))
+        keys = {key_of(p): p for p in todo}
+        # NATIVE-value pending filter: no string rendering in the data path
+        pend = df.filter(F.col(part_col).isin(list(todo)))
         (
             pend.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -131,7 +146,9 @@ class ParquetCatalog:
             .parquet(f"{self.root}/data")
         )
         try:
-            back = self.read().filter(F.col(part_col).cast("string").isin(list(todo_set)))
+            # read-back compares rendered keys: partition-dir values round-
+            # trip through Spark's own cast-to-string on both sides
+            back = self.read().filter(F.col(part_col).cast("string").isin(list(keys)))
             cols = [c for c in back.columns if c != part_col]
             per_part = (
                 back.groupBy(F.col(part_col).cast("string").alias("part_key"))
@@ -146,24 +163,36 @@ class ParquetCatalog:
             # dynamic overwrite wrote no files, data/ does not exist yet.
             # Anything else (executor loss, corrupt files) must propagate —
             # recording zero-row lineage for it would mark possibly-populated
-            # partitions complete forever.
-            if "PATH_NOT_FOUND" not in str(e):
+            # partitions complete forever. Spark 4 raises error class
+            # PATH_NOT_FOUND; older versions say 'Path does not exist'.
+            ec = getattr(e, "getErrorClass", lambda: None)() or ""
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in ec and "PATH_NOT_FOUND" not in msg \
+                    and "Path does not exist" not in msg:
                 raise
             per_part = []
         wall_ms = int((time.perf_counter() - t0) * 1000)
         found = {r["part_key"]: r for r in per_part}
-        rows = [
-            (
-                p,
-                int(found[p]["n_rows"]) if p in found else 0,
-                int(found[p]["checksum"] or 0) if p in found else 0,
-                wall_ms,
-                snapshot_id,
-            )
-            for p in sorted(todo_set)
-        ]
+        rows = []
+        for k in sorted(keys):
+            if k in found:
+                rows.append((k, int(found[k]["n_rows"]),
+                             int(found[k]["checksum"] or 0), wall_ms, snapshot_id))
+            elif keys[k] in present:
+                # the partition HAS rows in df but the verification read-back
+                # did not observe it: recording lineage would be silent data
+                # loss that resume never repairs — fail loudly, re-queue on
+                # the next run (nothing is appended for it).
+                raise RuntimeError(
+                    f"partition {k!r} was pending with rows but absent from "
+                    f"the post-write read-back; refusing to record lineage"
+                )
+            else:
+                # caller-requested partition with no rows in df: genuinely
+                # empty, record 0-row lineage so resume skips it
+                rows.append((k, 0, 0, wall_ms, snapshot_id))
         self._append_progress(rows)
-        return sorted(todo_set)
+        return sorted(keys)
 
     def read(self) -> DataFrame:
         return self.spark.read.option("basePath", f"{self.root}/data").parquet(f"{self.root}/data/*")

@@ -66,11 +66,14 @@ def sessionize_stateful(
     An event more than ``gap_seconds`` after the previous one closes the
     session (emitted with closed=true) and opens a new one; at the end
     of EVERY batch the still-open session is emitted as a closed=false
-    snapshot. Consumer contract for the append-only sink: closed=true
-    rows are final; for closed=false rows keep only the LATEST snapshot
-    per (user_id, session_start) — the one with max session_end — since
-    a session spanning k batches leaves k progressively-larger
-    snapshots. Under a single-batch drain (one input file, the
+    snapshot. Consumer contract for the append-only sink, per
+    (user_id, session_start): keep the closed=true row if one exists
+    (a session that closes in a LATER batch shares its key with its own
+    earlier closed=false snapshots, which must then be discarded — not
+    merely superseded by a newer snapshot); otherwise keep the snapshot
+    with max session_end, since a still-open session spanning k batches
+    leaves k progressively-larger snapshots. Under a single-batch drain
+    (one input file, the
     AvailableNow default) there is exactly one snapshot per open session
     and closed sessions + snapshots partition the events. No timeout is
     used: with Trigger.AvailableNow a processing-time timeout would keep
