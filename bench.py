@@ -36,7 +36,60 @@ HEADLINE = [
     "cell_cover_join",
     "zonal_stats_union",
     "multi_root_scan",
+    # round-3 operators
+    "embed_neardup_blocked",
 ]
+
+
+def bench_blocked_cosine(spark, cpus: int) -> dict:
+    """Blocked-Gram-matrix near-dup at a corpus size where the
+    single-broadcast strategy would need a >= 2 GB driver collect +
+    broadcast (rows x dim x 8 bytes of int64-quantized vectors): proof
+    the blocked path runs where the broadcast one cannot. The corpus is
+    generated DISTRIBUTED (seeded per-row rng, 20 planted duplicate
+    pairs); the timed window includes generation, quantization, the
+    block shuffle, and every block-pair matmul. The planted-pair count
+    is asserted, so this is a correctness check at scale too."""
+    import numpy as np
+    import pandas as pd
+
+    from tiff_to_geojson_csv_json_format_converter_spark.operators import similarity
+
+    nvec = int(os.environ.get("SPARK_GRAFT_BLOCKED_ROWS", "15360"))
+    dim = int(os.environ.get("SPARK_GRAFT_BLOCKED_DIM", "16384"))
+    n_blocks = int(os.environ.get("SPARK_GRAFT_BLOCKED_B", "4"))
+    planted = 20
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = []
+            for i in ids:
+                # last `planted` ids replay an early seed -> exact dup pairs
+                seed = int(i) if i < nvec - planted else int(i) - (nvec - planted)
+                vecs.append(
+                    np.random.default_rng(seed).normal(size=dim).astype(np.float32)
+                )
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    corpus = spark.range(nvec, numPartitions=cpus).mapInPandas(
+        gen, "vec_id long, embedding array<float>"
+    )
+    t0 = time.perf_counter()
+    n_pairs = similarity.cosine_pairs_blocked(
+        corpus, threshold_e6=999_000, n_blocks=n_blocks
+    ).count()
+    dt = time.perf_counter() - t0
+    if n_pairs != planted:
+        raise AssertionError(f"blocked near-dup found {n_pairs} pairs, expected {planted}")
+    return {
+        "sec": round(dt, 3),
+        "corpus_rows": nvec,
+        "dim": dim,
+        "n_blocks": n_blocks,
+        "quantized_corpus_gb": round(nvec * dim * 8 / 1e9, 2),
+        "pairs_found": n_pairs,
+    }
 
 
 def main() -> None:
@@ -120,6 +173,12 @@ def main() -> None:
     timings["raster_zonal_fused"] = round(t_zf, 3)
     total += t_zf
     images.unpersist()
+
+    blocked_info = None
+    if os.environ.get("SPARK_GRAFT_BENCH_BLOCKED", "1") != "0":
+        blocked_info = bench_blocked_cosine(spark, cpus)
+        timings["cosine_blocked_2gb"] = blocked_info["sec"]
+        total += blocked_info["sec"]
     out = {
         "metric": "headline query suite wall-clock",
         "value": round(total, 3),
@@ -135,6 +194,8 @@ def main() -> None:
         "spatial_join_images_per_sec": round(n_imgs / t_zonal, 2),
         "spatial_join_fused_images_per_sec": round(n_imgs / t_zf, 2),
     }
+    if blocked_info is not None:
+        out["cosine_blocked"] = blocked_info
     print(json.dumps(out))
     spark.stop()
 

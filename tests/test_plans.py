@@ -94,6 +94,50 @@ def test_cosine_pairs_has_no_cartesian_product(spark):
     assert "Join" not in p  # no join at all: broadcast matmul only
 
 
+def test_cosine_pairs_blocked_no_broadcast_no_collect(spark):
+    """The blocked (100 TB) near-dup path must not contain ANY corpus-wide
+    broadcast, cartesian, or driver collect: the corpus meets itself via a
+    hash-block shuffle + one applyInPandas group per block pair."""
+    from tiff_to_geojson_csv_json_format_converter_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = similarity.cosine_pairs_blocked(emb, threshold_e6=400_000, n_blocks=4)
+    p = plan_str(df)
+    assert "FlatMapGroupsInPandas" in p  # the block-pair kernel
+    assert "BroadcastExchange" not in p  # no single corpus-wide broadcast
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" not in p  # block pairing is a groupBy, not a join
+
+
+def test_cosine_pairs_blocked_equals_broadcast(spark):
+    """Bit-identical output across physical strategies and block counts,
+    including adversarial non-contiguous ids (hash blocks must not rely
+    on id order or density)."""
+    from tiff_to_geojson_csv_json_format_converter_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "vec_id", F.col("vec_id") * 7 + 13
+    )
+    want = sorted(
+        map(tuple, similarity.cosine_pairs(
+            emb, threshold_e6=400_000, mode="broadcast").collect())
+    )
+    assert want  # non-vacuous
+    for B in (1, 2, 5):
+        got = sorted(
+            map(tuple, similarity.cosine_pairs_blocked(
+                emb, threshold_e6=400_000, n_blocks=B).collect())
+        )
+        assert got == want, f"blocked(B={B}) diverged from broadcast"
+    # auto mode routes tiny corpora to broadcast, big thresholds to blocked
+    got_auto = sorted(
+        map(tuple, similarity.cosine_pairs(
+            emb, threshold_e6=400_000, mode="auto", broadcast_max_rows=10,
+            block_rows=40).collect())
+    )
+    assert got_auto == want
+
+
 def test_multi_root_scan_is_broadcast_no_cartesian(spark):
     """A2: the roots table is broadcast; matching is a LIKE-filtered
     broadcast join, never a cartesian/shuffle of the catalog."""

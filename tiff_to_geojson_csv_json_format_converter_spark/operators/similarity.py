@@ -22,6 +22,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _exact_matmul(Q: np.ndarray, M: np.ndarray) -> np.ndarray:
+    """Exact int64 Gram products ``Q @ M.T``, via float64 BLAS when safe.
+
+    numpy routes int64 matmul through a scalar loop (no BLAS) — 50-100x
+    slower than dgemm. When every product and every partial sum fits in
+    float64's 53-bit integer window (max|Q| * max|M| * dim < 2^53), the
+    float64 matmul is EXACT for integer inputs regardless of summation
+    order, so we can take the fast path and round back to int64. The
+    quantized vectors here are |q| <= scale (1000 by default), so the
+    bound holds up to dim ~ 9e9; the int64 loop remains as the guarded
+    fallback.
+    """
+    if Q.size == 0 or M.size == 0:
+        return np.zeros((Q.shape[0], M.shape[0]), dtype=np.int64)
+    bound = float(np.abs(Q).max()) * float(np.abs(M).max()) * Q.shape[1]
+    if bound < 2.0**53:
+        return np.rint(Q.astype(np.float64) @ M.astype(np.float64).T).astype(np.int64)
+    return Q @ M.T
+
+
 def with_quantized(df: DataFrame, vec_col: str = "embedding", scale: int = 1000) -> DataFrame:
     """Add int64-quantized vector + its exact squared norm (built-ins)."""
     q = F.transform(F.col(vec_col), lambda v: F.floor(v.cast("double") * scale).cast("long"))
@@ -51,7 +71,7 @@ def brute_topk(df: DataFrame, k: int = 5, id_col: str = "vec_id",
             Q = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
             qn2 = pdf["qnorm2"].to_numpy().astype(np.int64)
             qids = pdf[id_col].to_numpy()
-            dots = Q @ M_.T  # exact int64
+            dots = _exact_matmul(Q, M_)  # exact int64 (BLAS fast path)
             out = []
             for r in range(len(qids)):
                 cos = dots[r].astype(np.float64) / np.sqrt(qn2[r] * n2_.astype(np.float64))
@@ -71,7 +91,9 @@ def brute_topk(df: DataFrame, k: int = 5, id_col: str = "vec_id",
 
 
 def cosine_pairs(df: DataFrame, threshold_e6: int = 950_000, id_col: str = "vec_id",
-                 vec_col: str = "embedding", scale: int = 1000) -> DataFrame:
+                 vec_col: str = "embedding", scale: int = 1000,
+                 mode: str = "auto", broadcast_max_rows: int = 1_000_000,
+                 block_rows: int = 500_000) -> DataFrame:
     """Embedding near-dup pairs: quantized cosine >= threshold, EXACT,
     with no cartesian product anywhere in the plan.
 
@@ -80,18 +102,35 @@ def cosine_pairs(df: DataFrame, threshold_e6: int = 950_000, id_col: str = "vec_
     no LSH family reaches recall 1) is inherently O(n^2) COMPUTE — the
     design question is where that quadratic work lives. A crossJoin puts
     it in the shuffle (n^2 rows over the wire: a hard 100 TB killer).
-    Here it lives inside numpy: the corpus (int64-quantized matrix) is
-    collected once and broadcast; each Arrow batch of rows does ONE
-    integer matmul against it and emits ONLY qualifying pairs (id_a <
-    id_b enforced by masking, so each pair is produced exactly once).
-    Zero join, zero extra shuffle, output size = answer size.
 
-    Scale ladder: this broadcast shape holds to a few million corpus
-    vectors (64-dim int64 ~ 0.5 GB at 1M). Beyond that, grid-block the
-    corpus (B column blocks, row-batches join their blocks) — the same
-    matmul kernel with bounded broadcasts; and for genuine near-dup
-    thresholds (>=0.9) switch to lsh_topk candidates + exact verify.
+    Two physical strategies, identical output:
+
+    - ``broadcast`` (small corpora): the int64-quantized matrix is
+      collected once and broadcast; each Arrow batch of rows does ONE
+      matmul against it and emits only qualifying pairs. Zero join, zero
+      extra shuffle — but the corpus transits the driver, so it is
+      capped at ``broadcast_max_rows``.
+    - ``blocked`` (the 100 TB path, see :func:`cosine_pairs_blocked`):
+      the corpus is hash-partitioned into B blocks that meet pairwise in
+      an ``applyInPandas`` group per block pair — nothing ever touches
+      the driver, per-task memory is bounded by two blocks, and shuffle
+      volume is corpus x B (the classic blocked-Gram-matrix trade).
+
+    ``mode='auto'`` counts the corpus and picks: broadcast while it fits
+    under ``broadcast_max_rows``, else blocked with
+    B = ceil(n / block_rows). For genuine near-dup thresholds (>=0.9)
+    ``lsh_topk`` candidates + exact verify beats both.
     """
+    if mode not in ("auto", "broadcast", "blocked"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "auto":
+        n = df.count()
+        mode = "broadcast" if n <= broadcast_max_rows else "blocked"
+    if mode == "blocked":
+        return cosine_pairs_blocked(
+            df, threshold_e6, id_col=id_col, vec_col=vec_col, scale=scale,
+            block_rows=block_rows,
+        )
     qdf = with_quantized(df, vec_col, scale).select(
         F.col(id_col).alias("id"), "qvec", "qnorm2"
     )
@@ -114,7 +153,7 @@ def cosine_pairs(df: DataFrame, threshold_e6: int = 950_000, id_col: str = "vec_
             Q = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
             qn2 = pdf["qnorm2"].to_numpy().astype(np.float64)
             qids = pdf["id"].to_numpy()
-            dots = Q @ M_.T  # exact int64
+            dots = _exact_matmul(Q, M_)  # exact int64 (BLAS fast path)
             # same IEEE expression tree as the SQL oracle:
             # FLOOR(dot / SQRT(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)) * 1e6)
             denom = np.sqrt(qn2[:, None] * n2_.astype(np.float64)[None, :])
@@ -127,6 +166,92 @@ def cosine_pairs(df: DataFrame, threshold_e6: int = 950_000, id_col: str = "vec_
             })
 
     return qdf.mapInPandas(pairs, "id_a long, id_b long, dot_q long, cos_e6 long")
+
+
+def cosine_pairs_blocked(df: DataFrame, threshold_e6: int = 950_000,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         scale: int = 1000, n_blocks: int | None = None,
+                         block_rows: int = 500_000) -> DataFrame:
+    """Blocked-Gram-matrix exact cosine threshold pairs — the shape that
+    survives a corpus too large for any single broadcast or driver
+    collect.
+
+    The corpus is hash-partitioned into B blocks (``pmod(xxhash64(id),
+    B)``); every unordered pair of vectors lives in exactly one of the
+    B(B+1)/2 unordered block pairs. Each vector row is replicated to the
+    B block-pair groups it participates in (tagged side 'a'/'b', or 's'
+    on the diagonal), and one ``applyInPandas`` group per block pair
+    stacks its two bounded matrices, runs ONE exact integer matmul
+    (float64 BLAS fast path, see _exact_matmul), and emits only
+    qualifying (min_id, max_id) pairs — each produced exactly once.
+
+    Cost model: shuffle volume = corpus x B (each row to B groups, RAW
+    float32 vectors — quantization happens inside the kernel, numpy
+    vectorized, because Catalyst's higher-order ``transform``/
+    ``aggregate`` lambdas are interpreted per element and would dominate
+    wall-clock at wide dims while doubling shuffle bytes as int64),
+    per-task memory = 2 blocks = O(2 * block_rows * dim), parallelism =
+    B(B+1)/2 groups. Nothing transits the driver; there is no broadcast,
+    no cartesian, and no collect anywhere in the plan (asserted in
+    tests/test_plans.py). Output is bit-identical to the broadcast path:
+    the kernel's ``floor(float64(v) * scale)`` is the same IEEE
+    expression tree as with_quantized's Catalyst form.
+    """
+    if n_blocks is None:
+        n_blocks = max(1, -(-df.count() // max(block_rows, 1)))  # ceil
+    B = int(n_blocks)
+    rep = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("b", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int"))
+        .withColumn("o", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .withColumn("bi", F.least("b", "o"))
+        .withColumn("bj", F.greatest("b", "o"))
+        .withColumn(
+            "side",
+            F.when(F.col("b") < F.col("o"), F.lit("a"))
+            .when(F.col("b") > F.col("o"), F.lit("b"))
+            .otherwise(F.lit("s")),
+        )
+        .select("bi", "bj", "side", "id", "vec")
+    )
+    out_cols = ["id_a", "id_b", "dot_q", "cos_e6"]
+
+    def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        diag = (pdf["side"] == "s").any()
+        a = pdf if diag else pdf[pdf["side"] == "a"]
+        b = pdf if diag else pdf[pdf["side"] == "b"]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in out_cols})
+        A = np.floor(np.stack(a["vec"].to_numpy()).astype(np.float64) * scale).astype(np.int64)
+        Bm = A if diag else np.floor(
+            np.stack(b["vec"].to_numpy()).astype(np.float64) * scale
+        ).astype(np.int64)
+        na = np.einsum("ij,ij->i", A.astype(np.float64), A.astype(np.float64))
+        nb = na if diag else np.einsum("ij,ij->i", Bm.astype(np.float64), Bm.astype(np.float64))
+        ida = a["id"].to_numpy()
+        idb = b["id"].to_numpy()
+        dots = _exact_matmul(A, Bm)
+        # identical IEEE expression tree to the broadcast path / SQL oracle:
+        # FLOOR(dot / SQRT(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)) * 1e6)
+        denom = np.sqrt(na[:, None] * nb[None, :])
+        cos_e6 = np.floor(dots.astype(np.float64) / denom * 1e6).astype(np.int64)
+        keep = cos_e6 >= threshold_e6
+        if diag:
+            # diagonal block: both sides are the same set — dedupe by id order
+            keep &= ida[:, None] < idb[None, :]
+        r, c = np.nonzero(keep)
+        # off-diagonal blocks hold DISJOINT id sets, so (min, max) ordering
+        # keeps each unordered pair exactly once without dropping any
+        return pd.DataFrame({
+            "id_a": np.minimum(ida[r], idb[c]),
+            "id_b": np.maximum(ida[r], idb[c]),
+            "dot_q": dots[r, c],
+            "cos_e6": cos_e6[r, c],
+        })
+
+    return rep.groupBy("bi", "bj").applyInPandas(
+        block_pair, "id_a long, id_b long, dot_q long, cos_e6 long"
+    )
 
 
 def spherical_kmeans_distributed(df: DataFrame, n_centroids: int, iters: int,

@@ -948,9 +948,7 @@ def q_ann_brute_topk(spark, sf_dir):
     return similarity.brute_topk(emb, k=5)
 
 
-@_register(
-    "embed_neardup",
-    f"""
+_NEARDUP_SQL = f"""
     WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
     qn AS (
         SELECT vec_id, qv,
@@ -967,13 +965,26 @@ def q_ann_brute_topk(spark, sf_dir):
            CAST(FLOOR(CAST(dot_q AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS cos_e6
     FROM pairs
     WHERE CAST(FLOOR(CAST(dot_q AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000.0e0) AS BIGINT) >= 400000
-    """,
-)
+    """
+
+
+@_register("embed_neardup", _NEARDUP_SQL)
 def q_embed_neardup(spark, sf_dir):
     """Similarity/near-dup: quantized-cosine pairs >= 0.4, exact, via
     the broadcast integer-matmul shape (no cartesian in the plan)."""
     emb = _load(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(emb, threshold_e6=400_000)
+    return similarity.cosine_pairs(emb, threshold_e6=400_000, mode="broadcast")
+
+
+@_register("embed_neardup_blocked", _NEARDUP_SQL)
+def q_embed_neardup_blocked(spark, sf_dir):
+    """Similarity/near-dup, blocked-Gram-matrix strategy: the 100 TB path
+    (hash-block shuffle + per-block-pair exact matmul; no broadcast, no
+    driver collect, no cartesian — plan-asserted in tests/test_plans.py).
+    Same oracle as embed_neardup: the two physical strategies must be
+    bit-identical."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_blocked(emb, threshold_e6=400_000, n_blocks=4)
 
 
 # ---------------------------------------------------------------------------
