@@ -98,9 +98,14 @@ def write_compressed_outputs(images_df: DataFrame, out_dir: str,
                     written.append((r.image_id, fmt_name, p, len(data), n))
 
                 if "csv" in formats:
-                    body = "x,y,z\n" + "\n".join(
-                        f"{a:.2f},{b:.2f},{c:.2f}" for a, b, c in zip(xr, yr, zr)
-                    ) + "\n"
+                    # vectorized formatter (pandas C path — the reference's
+                    # own to_csv float_format='%.2f', thiswillcompress.py:59);
+                    # byte-identical to the former per-row f-string loop
+                    # (both render %.2f of the float64 widening), goldens in
+                    # tests/test_sinks_compressed.py
+                    body = pd.DataFrame({"x": xr, "y": yr, "z": zr}).to_csv(
+                        index=False, float_format="%.2f"
+                    )
                     emit("csv", f"{r.image_id}.csv.gz", _gz(body.encode()))
                 if "npz" in formats:
                     buf = io.BytesIO()
@@ -422,6 +427,129 @@ def master_catalog(points: DataFrame, images: DataFrame) -> dict:
         "overall_bounds": ob,
         "files": files,
     }
+
+
+def fixed_point_col(col, digits: int = 6):
+    """Engine-portable fixed-point rendering of a double column: half-up
+    quantize to 10^digits, assemble '<sign><int>.<frac>' from integers.
+    printf('%.Nf') is NOT portable (Java rounds the shortest-repr
+    decimal HALF_UP, C rounds the exact binary value), so every driver
+    oracle that renders a float goes through this integer path — the
+    DuckDB twin is the same FLOOR(x*scale + 0.5) expression tree."""
+    scale = 10 ** digits
+    q = F.floor(F.col(col) * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    absq = F.abs(q)
+    return F.concat(
+        F.when(q < 0, F.lit("-")).otherwise(F.lit("")),
+        F.format_string(
+            f"%d.%0{digits}d",
+            F.floor(absq / F.lit(scale)).cast("long"),
+            (absq % scale).cast("long"),
+        ),
+    )
+
+
+def analyze_report_df(per_image: DataFrame) -> DataFrame:
+    """A10, driver-checkable form: :func:`analyze_report`'s exact line
+    structure as (line_no, line) rows, entirely in Catalyst — header,
+    ruler, thousands-separated totals (format_number), then one line per
+    image sorted by image_id with bounds at fixed %.6f (the portable
+    integer assembly of :func:`fixed_point_col`, where the driver-side
+    string uses Python float repr). Input is the analyze_images
+    aggregate (test.py:366-515)."""
+    totals = per_image.agg(
+        F.count("*").alias("nf"),
+        F.sum("valid_pixels").cast("long").alias("nv"),
+    )
+    hdr = totals.select(
+        F.explode(F.array(
+            F.struct(F.lit(0).cast("long").alias("line_no"),
+                     F.lit("TIFF ANALYSIS MASTER REPORT").alias("line")),
+            F.struct(F.lit(1).cast("long").alias("line_no"),
+                     F.lit("=" * 50).alias("line")),
+            F.struct(F.lit(2).cast("long").alias("line_no"),
+                     F.format_string("Total files analyzed: %d", F.col("nf")).alias("line")),
+            F.struct(F.lit(3).cast("long").alias("line_no"),
+                     F.concat(F.lit("Total valid points: "),
+                              F.format_number(F.col("nv"), 0)).alias("line")),
+        )).alias("s")
+    ).select("s.line_no", "s.line")
+    from pyspark.sql import Window
+
+    body = per_image.select(
+        (F.row_number().over(Window.orderBy("image_id")) + 3).cast("long").alias("line_no"),
+        F.concat(
+            F.lit("  "), F.col("image_id").cast("string"), F.lit(": "),
+            F.format_number(F.col("valid_pixels").cast("long"), 0),
+            F.lit(" valid points bounds=("),
+            fixed_point_col("min_longitude"), F.lit(","),
+            fixed_point_col("min_latitude"), F.lit(")...("),
+            fixed_point_col("max_longitude"), F.lit(","),
+            fixed_point_col("max_latitude"), F.lit(")"),
+        ).alias("line"),
+    )
+    return hdr.unionAll(body)
+
+
+def json_envelope_rows(points: DataFrame, group_col: str = "image_id",
+                       order_col: str = "pixel_idx", lon: str = "longitude",
+                       lat: str = "latitude", z: str = "elevation") -> DataFrame:
+    """A8, driver-checkable form: :func:`json_struct_of_arrays`'s
+    envelope per group as ONE compact JSON string row — the same field
+    order (doesSamples.py:108-133: metadata{source_file, output_crs,
+    frontend_points, bounds{...}} then data{longitude, latitude,
+    elevation} parallel arrays in ``order_col`` order) with floats at
+    fixed precision (lon/lat %.6f, z %.2f via exact integer assembly) so
+    the bytes are engine-portable and hashable by the driver.
+
+    The arrays + every bound/count come from one aggregate per group
+    (array_sort of (ordinal, formatted) structs — deterministic across
+    shuffles), exactly the single-pass shape of the driver-side sink."""
+    fmt = points.select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        fixed_point_col(lon, 6).alias("slon"),
+        fixed_point_col(lat, 6).alias("slat"),
+        fixed_point_col(z, 2).alias("sz"),
+        F.col(lon).alias("lon"), F.col(lat).alias("lat"), F.col(z).alias("z"),
+    )
+
+    # ONE sorted struct array shared by the three parallel data arrays:
+    # the ordinal may have ties (point_id is not unique across lineitem),
+    # so the sort key is the full (o, slon, slat, sz) tuple — total order,
+    # and all three arrays stay row-parallel
+    trip = F.array_sort(F.collect_list(F.struct(
+        F.col("o").alias("o"), F.col("slon").alias("slon"),
+        F.col("slat").alias("slat"), F.col("sz").alias("sz"))))
+    agg = fmt.groupBy("g").agg(
+        F.count("*").alias("n"),
+        trip.alias("trip"),
+        F.min("lon").alias("min_lon"), F.max("lon").alias("max_lon"),
+        F.min("lat").alias("min_lat"), F.max("lat").alias("max_lat"),
+        F.min("z").alias("min_z"), F.max("z").alias("max_z"),
+    ).withColumns({
+        "lons": F.array_join(F.transform(F.col("trip"), lambda s: s["slon"]), ","),
+        "lats": F.array_join(F.transform(F.col("trip"), lambda s: s["slat"]), ","),
+        "zs": F.array_join(F.transform(F.col("trip"), lambda s: s["sz"]), ","),
+    })
+    return agg.select(
+        F.col("g").cast("string").alias(group_col),
+        F.concat(
+            F.lit('{"metadata":{"source_file":"'), F.col("g").cast("string"),
+            F.lit('","output_crs":"EPSG:4326","frontend_points":'),
+            F.col("n").cast("string"),
+            F.lit(',"bounds":{"min_longitude":'), fixed_point_col("min_lon", 6),
+            F.lit(',"max_longitude":'), fixed_point_col("max_lon", 6),
+            F.lit(',"min_latitude":'), fixed_point_col("min_lat", 6),
+            F.lit(',"max_latitude":'), fixed_point_col("max_lat", 6),
+            F.lit(',"min_elevation":'), fixed_point_col("min_z", 2),
+            F.lit(',"max_elevation":'), fixed_point_col("max_z", 2),
+            F.lit('}},"data":{"longitude":['), F.col("lons"),
+            F.lit('],"latitude":['), F.col("lats"),
+            F.lit('],"elevation":['), F.col("zs"),
+            F.lit("]}}"),
+        ).alias("envelope"),
+    )
 
 
 def analyze_report(per_image: DataFrame) -> str:

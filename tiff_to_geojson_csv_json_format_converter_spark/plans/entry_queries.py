@@ -779,6 +779,118 @@ def q_geojson_format(spark, sf_dir):
     )
 
 
+def _fixed_sql(expr: str, digits: int = 6) -> str:
+    """DuckDB twin of sinks.fixed_point_col: half-up quantize to
+    10^digits, assemble '<sign><int>.<frac>' from integers (portable —
+    printf('%.Nf') rounds differently across engines)."""
+    scale = 10 ** digits
+    q = f"CAST(FLOOR(({expr}) * {scale}.0e0 + 0.5e0) AS BIGINT)"
+    return (
+        f"(CASE WHEN {q} < 0 THEN '-' ELSE '' END) || "
+        f"printf('%d.%0{digits}d', abs({q}) // {scale}, abs({q}) % {scale})"
+    )
+
+
+def _analyze_report_sql() -> str:
+    f6 = lambda e: _fixed_sql(e, 6)  # noqa: E731
+    return f"""
+    WITH pts AS ({_PTS_SQL}),
+    per_img AS (
+        SELECT image_id, CAST(COUNT(*) AS BIGINT) AS nv,
+               MIN(lon) AS mnl, MAX(lon) AS mxl,
+               MIN(lat) AS mnb, MAX(lat) AS mxb
+        FROM pts WHERE valid GROUP BY image_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nf, CAST(SUM(nv) AS BIGINT) AS nv FROM per_img),
+    hdr AS (
+        SELECT CAST(0 AS BIGINT) AS line_no, 'TIFF ANALYSIS MASTER REPORT' AS line FROM tot
+        UNION ALL SELECT 1, repeat('=', 50) FROM tot
+        UNION ALL SELECT 2, 'Total files analyzed: ' || CAST(nf AS VARCHAR) FROM tot
+        UNION ALL SELECT 3, 'Total valid points: ' || format('{{:,}}', nv) FROM tot
+    ),
+    body AS (
+        SELECT CAST(3 + ROW_NUMBER() OVER (ORDER BY image_id) AS BIGINT) AS line_no,
+               '  ' || CAST(image_id AS VARCHAR) || ': ' || format('{{:,}}', nv)
+               || ' valid points bounds=(' || {f6('mnl')} || ',' || {f6('mnb')}
+               || ')...(' || {f6('mxl')} || ',' || {f6('mxb')} || ')' AS line
+        FROM per_img
+    )
+    SELECT line_no, line FROM hdr UNION ALL SELECT line_no, line FROM body
+    """
+
+
+@_register("analyze_report_lines", _analyze_report_sql())
+def q_analyze_report_lines(spark, sf_dir):
+    """A10, hard-oracle form: the master analyze report
+    (test.py:366-515) as deterministic (line_no, line) rows — header,
+    50-char ruler, thousands-separated totals, one bounds line per
+    image — built entirely in Catalyst by sinks.analyze_report_df."""
+    from ..operators import extract, sinks
+
+    pts = _pts(spark, sf_dir).filter("valid").select(
+        "image_id",
+        F.col("lon").alias("longitude"),
+        F.col("lat").alias("latitude"),
+        F.col("z").alias("elevation"),
+    )
+    return sinks.analyze_report_df(extract.analyze_images(pts))
+
+
+def _json_envelope_sql() -> str:
+    f6 = lambda e: _fixed_sql(e, 6)  # noqa: E731
+    f2 = lambda e: _fixed_sql(e, 2)  # noqa: E731
+    head = '{"metadata":{"source_file":"'  # plain str: braces literal, survives the f-string interpolation below
+    return f"""
+    WITH pts AS ({_PTS_SQL}),
+    f AS (
+        SELECT image_id, point_id, lon, lat, z,
+               {f6('lon')} AS slon, {f6('lat')} AS slat, {f2('z')} AS sz
+        FROM pts WHERE valid
+    ),
+    agg AS (
+        SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n,
+               string_agg(slon, ',' ORDER BY point_id, slon, slat, sz) AS lons,
+               string_agg(slat, ',' ORDER BY point_id, slon, slat, sz) AS lats,
+               string_agg(sz, ',' ORDER BY point_id, slon, slat, sz) AS zs,
+               MIN(lon) AS mnl, MAX(lon) AS mxl,
+               MIN(lat) AS mnb, MAX(lat) AS mxb,
+               MIN(z) AS mnz, MAX(z) AS mxz
+        FROM f GROUP BY image_id
+    )
+    SELECT CAST(image_id AS VARCHAR) AS image_id,
+           '{head}' || CAST(image_id AS VARCHAR)
+           || '","output_crs":"EPSG:4326","frontend_points":' || CAST(n AS VARCHAR)
+           || ',"bounds":{{"min_longitude":' || {f6('mnl')}
+           || ',"max_longitude":' || {f6('mxl')}
+           || ',"min_latitude":' || {f6('mnb')}
+           || ',"max_latitude":' || {f6('mxb')}
+           || ',"min_elevation":' || {f2('mnz')}
+           || ',"max_elevation":' || {f2('mxz')}
+           || '}}}},"data":{{"longitude":[' || lons
+           || '],"latitude":[' || lats
+           || '],"elevation":[' || zs || ']}}}}' AS envelope
+    FROM agg
+    """
+
+
+@_register("json_envelope", _json_envelope_sql())
+def q_json_envelope(spark, sf_dir):
+    """A8, hard-oracle form: the struct-of-arrays JSON envelope
+    (doesSamples.py:108-133) per image as ONE compact JSON string —
+    metadata (source_file, output_crs, frontend_points, bounds) then
+    parallel data arrays in point order — built by the single-aggregate
+    sinks.json_envelope_rows with engine-portable fixed-point floats."""
+    from ..operators import sinks
+
+    pts = _pts(spark, sf_dir).filter("valid").select(
+        "image_id", "point_id",
+        F.col("lon").alias("longitude"),
+        F.col("lat").alias("latitude"),
+        F.col("z").alias("elevation"),
+    )
+    return sinks.json_envelope_rows(pts, group_col="image_id", order_col="point_id")
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -1477,10 +1589,17 @@ def q_multi_root_scan(spark, sf_dir):
 # the decode math itself is independently verified row-for-row against
 # the pure-numpy reference oracle in tests/test_extract.py.
 
+# bbox strictly inside the golden Delhi cluster, chosen so images in
+# BOTH CRS families (EPSG:4326 and the UTM zones) are partially
+# windowed — a window-mapping error (off-by-one row, curved-edge dip)
+# changes the digest
+GOLDEN_WINDOW_BBOX = (77.05, 28.04, 77.42, 28.42)  # 12 full + 9 partial xs images
+
+
 def _raster_digest_rows():
-    """Single-process replay of the xs extraction, shared by the three
+    """Single-process replay of the xs extraction, shared by the four
     digest oracles: (image_id, band, tile_id, in_delhi, lon_e6, lat_e6,
-    elev_cents) per point."""
+    elev_cents, in_window) per point."""
     import math
 
     import numpy as np
@@ -1501,11 +1620,19 @@ def _raster_digest_rows():
             tx, ty = _cells.tile_xy(bl, bb, 12)
             tile = tx * (1 << 12) + ty
             inside = _geometry.points_in_polygon(bl, bb, [synth.GOLDEN_DELHI_RING])
+            # windowed-read contract (A4): extract_points(bbox=...) IS
+            # full-extract-then-filter (inclusive mask on ROUNDED output)
+            # — so the replay's window membership is exactly this mask
+            wmn_lon, wmn_lat, wmx_lon, wmx_lat = GOLDEN_WINDOW_BBOX
+            in_win = (
+                (bl >= wmn_lon) & (bl <= wmx_lon)
+                & (bb >= wmn_lat) & (bb <= wmx_lat)
+            )
             for k in range(len(bi)):
                 out.append((
                     img["image_id"], int(band), int(tile[k]), bool(inside[k]),
                     math.floor(bl[k] * 1e6), math.floor(bb[k] * 1e6),
-                    math.floor(bz[k] * 100.0),
+                    math.floor(bz[k] * 100.0), bool(in_win[k]),
                 ))
     return out
 
@@ -1520,11 +1647,14 @@ def _raster_digest_oracles() -> dict[str, str]:
     per_img: dict[tuple, list] = {}
     per_tile: dict[int, list] = {}
     per_zonal: dict[tuple, list] = {}
-    for s, band, tile, inside, lon6, lat6, zc in pts:
+    per_window: dict[tuple, list] = {}
+    for s, band, tile, inside, lon6, lat6, zc, in_win in pts:
         per_img.setdefault((s, band), []).append((lon6, lat6, zc))
         per_tile.setdefault(tile, []).append((s, zc))
         if inside:
             per_zonal.setdefault((s, band), []).append(zc)
+        if in_win:
+            per_window.setdefault((s, band), []).append((lon6, lat6, zc))
 
     extract_rows = [
         (f"'{s}'", band, len(v), sum(x[0] for x in v), sum(x[1] for x in v),
@@ -1539,6 +1669,11 @@ def _raster_digest_oracles() -> dict[str, str]:
         (f"'{s}'", band, len(v), min(v), max(v), sum(v))
         for (s, band), v in sorted(per_zonal.items())
     ]
+    window_rows = [
+        (f"'{s}'", band, len(v), sum(x[0] for x in v), sum(x[1] for x in v),
+         sum(x[2] for x in v))
+        for (s, band), v in sorted(per_window.items())
+    ]
     return {
         "raster_extract_digest": _values_sql(
             extract_rows,
@@ -1550,6 +1685,10 @@ def _raster_digest_oracles() -> dict[str, str]:
         "raster_zonal_digest": _values_sql(
             zonal_rows,
             "image_id, band, n, min_elev_cents, max_elev_cents, sum_elev_cents",
+        ),
+        "raster_window_digest": _values_sql(
+            window_rows,
+            "image_id, band, n, sum_lon_e6, sum_lat_e6, sum_elev_cents",
         ),
     }
 
@@ -1581,6 +1720,28 @@ def q_raster_tile_digest(spark, sf_dir):
     return tiling.assign_tiles(pts, 12).groupBy("tile_id").agg(
         F.count("*").alias("n_points"),
         F.countDistinct("image_id").alias("n_images"),
+        F.sum(F.floor(F.col("elevation") * 100.0)).cast("long").alias("sum_elev_cents"),
+    )
+
+
+@_register("raster_window_digest", _RASTER_DIGEST_SQL["raster_window_digest"])
+def q_raster_window_digest(spark, sf_dir):
+    """A4 windowed read, digest form (test2.py:1322-1338): extraction
+    with a pushed-down bbox pixel window over the golden window bbox,
+    exact per-(image, band) int64 aggregates vs a full-extract-then-
+    filter single-process replay. A window-mapping bug (dropped edge
+    rows, curved-boundary dip, stride/window ordering) breaks the sums;
+    the densified-boundary mapping (extract.bbox_pixel_window) is what
+    makes the two sides agree across the UTM images."""
+    from ..operators import extract
+
+    pts = extract.extract_points(
+        synth.images_df(spark, "xs"), valid_only=True, bbox=GOLDEN_WINDOW_BBOX
+    )
+    return pts.groupBy("image_id", F.col("band").cast("int").alias("band")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("longitude") * 1e6)).cast("long").alias("sum_lon_e6"),
+        F.sum(F.floor(F.col("latitude") * 1e6)).cast("long").alias("sum_lat_e6"),
         F.sum(F.floor(F.col("elevation") * 100.0)).cast("long").alias("sum_elev_cents"),
     )
 
