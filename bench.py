@@ -92,6 +92,38 @@ def bench_blocked_cosine(spark, cpus: int) -> dict:
     }
 
 
+def bench_ivf_distributed(spark, sf_dir: str) -> dict:
+    """Production-shape IVF (distributed full-corpus k-means trainer,
+    n_probe << n_centroids) timed at bench scale, with measured
+    recall@5 against the exact brute-force top-k — the
+    quality-vs-throughput number an ANN deployment actually tracks."""
+    from pyspark.sql import functions as F
+
+    from tiff_to_geojson_csv_json_format_converter_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = 5
+    t0 = time.perf_counter()
+    ivf = similarity.ivf_topk(
+        emb, k=k, n_centroids=16, n_probe=4, train="distributed", kmeans_iters=2
+    ).select("query_id", "neighbor_id").cache()
+    n_ivf = ivf.count()
+    dt = time.perf_counter() - t0
+    truth = similarity.brute_topk(emb, k=k).select("query_id", "neighbor_id")
+    hits = ivf.join(truth, ["query_id", "neighbor_id"]).count()
+    n_truth = truth.count()
+    ivf.unpersist()
+    return {
+        "sec": round(dt, 3),
+        "recall_at_5": round(hits / max(n_truth, 1), 4),
+        "ivf_pairs": n_ivf,
+        "truth_pairs": n_truth,
+        "n_probe": 4,
+        "n_centroids": 16,
+        "train": "distributed",
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -179,6 +211,12 @@ def main() -> None:
         blocked_info = bench_blocked_cosine(spark, cpus)
         timings["cosine_blocked_2gb"] = blocked_info["sec"]
         total += blocked_info["sec"]
+
+    ivf_info = None
+    if os.environ.get("SPARK_GRAFT_BENCH_IVF", "1") != "0":
+        ivf_info = bench_ivf_distributed(spark, sf_dir)
+        timings["ann_ivf_distributed"] = ivf_info["sec"]
+        total += ivf_info["sec"]
     out = {
         "metric": "headline query suite wall-clock",
         "value": round(total, 3),
@@ -196,6 +234,9 @@ def main() -> None:
     }
     if blocked_info is not None:
         out["cosine_blocked"] = blocked_info
+    if ivf_info is not None:
+        out["ann_ivf_recall_at_5"] = ivf_info["recall_at_5"]
+        out["ann_ivf_distributed"] = ivf_info
     print(json.dumps(out))
     spark.stop()
 

@@ -64,6 +64,33 @@ class TestDedup:
         for _, r in got.iterrows():
             assert r["jaccard_e6"] == int(np.floor(r["n_inter"] / r["n_union"] * 1e6))
 
+    def test_jaccard_cache_scope_leaves_no_cached_relations(self, spark, planted_docs):
+        """Two sequential corpora, each through an owner-managed
+        CacheScope, must leave zero persisted relations behind —
+        no session-lifetime cache leak across corpus loops."""
+        def persisted():
+            return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+
+        baseline = persisted()  # other tests in the shared session may cache
+        # shifted ids: plans must differ from every other test's, else
+        # Spark's cacheManager resolves cache() to the already-cached
+        # session-lifetime relation and no new RDD would appear
+        corpora = [
+            planted_docs.withColumn("doc_id", planted_docs["doc_id"] + 1000),
+            planted_docs.withColumn("doc_id", planted_docs["doc_id"] + 2000),
+        ]
+        results = []
+        for corpus in corpora:
+            with dedup.CacheScope() as scope:
+                out = dedup.jaccard_pairs(
+                    corpus, n=4, threshold_e6=600_000, scope=scope
+                ).collect()
+                results.append(len(out))
+                # cache is live while the owner still holds the scope
+                assert persisted() - baseline
+            assert persisted() - baseline == set()
+        assert results[0] == results[1] > 0  # shifted ids, same pairs
+
     def test_minhash_lsh_recall_on_planted_dups(self, spark, planted_docs):
         exact = dedup.jaccard_pairs(planted_docs, n=4, threshold_e6=600_000).toPandas()
         lsh = dedup.minhash_lsh_pairs(planted_docs, n=4, threshold_e6=600_000).toPandas()

@@ -51,9 +51,46 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = 
     return df.select(id_col, *extra_cols, F.explode(arr).alias("shingle"))
 
 
+class CacheScope:
+    """Owner-managed lifetime for multi-consumer cached intermediates.
+
+    Operators that cache a relation consumed several times downstream
+    (``jaccard_pairs``'s per-doc prefix table) register it here instead
+    of leaking a session-lifetime cache; the owner releases everything
+    at once::
+
+        with CacheScope() as scope:
+            pairs = jaccard_pairs(docs, scope=scope).collect()
+        # all caches registered by the call are unpersisted here
+
+    Re-entrant and idempotent; usable as a plain object too
+    (call :meth:`release` explicitly, e.g. from a finally block).
+    """
+
+    def __init__(self):
+        self._dfs: list[DataFrame] = []
+
+    def cache(self, df: DataFrame) -> DataFrame:
+        df = df.cache()
+        self._dfs.append(df)
+        return df
+
+    def release(self) -> None:
+        while self._dfs:
+            self._dfs.pop().unpersist()
+
+    def __enter__(self) -> "CacheScope":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.release()
+        return False
+
+
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold_e6: int = 500_000,
                   id_col: str = "doc_id", text_col: str = "text",
-                  block_col: str | None = None) -> DataFrame:
+                  block_col: str | None = None,
+                  scope: CacheScope | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold (scaled 1e6),
     via PREFIX FILTERING — the exact similarity-join algorithm that
     survives hot shingles (a plain document-frequency cap cannot: on
@@ -89,6 +126,13 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold_e6: int = 500_000,
 
     ``block_col`` (e.g. source/domain) additionally confines candidates
     to equal blocks — the standard web-pipeline blocking strategy.
+
+    ``scope``: a :class:`CacheScope` that owns the lifetime of the
+    cached per-doc prefix table (4 downstream consumers). Pass one when
+    looping over many corpora — ``with CacheScope() as s:
+    jaccard_pairs(df, scope=s).collect()`` leaves no cached relations
+    behind. Without a scope the cache is session-lifetime (Spark evicts
+    LRU under memory pressure; one-shot driver queries rely on this).
     """
     extra = [block_col] if block_col else []
     spark = df.sparkSession
@@ -109,9 +153,8 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold_e6: int = 500_000,
         .withColumn("sh_set", F.transform("ordered", lambda x: x["sh64"]))
         .withColumn("prefix", F.slice("sh_set", 1, F.col("prefix_len")))
         .drop("ordered")
-    ).cache()  # 4 downstream consumers; session-lifetime cache is the
-    # deliberate tradeoff (Spark evicts LRU under pressure) — callers
-    # looping many corpora can spark.catalog.clearCache() between runs
+    )
+    per_doc = scope.cache(per_doc) if scope is not None else per_doc.cache()
     a = per_doc.select(
         F.col(id_col).alias("doc_a"), *extra,
         F.col("set_size").alias("size_a"),

@@ -1377,6 +1377,21 @@ def q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, k=5, n_centroids=16, n_probe=16)
 
 
+@_register("ann_ivf_distributed", _BRUTE_TOPK_SQL)
+def q_ann_ivf_distributed(spark, sf_dir):
+    """Similarity/IVF with the DISTRIBUTED full-corpus k-means trainer
+    (Lloyd iterations as Arrow partial-sum DataFrame jobs — the
+    10^9-vector path; nothing but (n_centroids x dim) partials transits
+    the driver), exhaustive-probe exact mode so the same brute-force SQL
+    oracle hard-checks the trainer + assignment + probe-join + re-rank
+    end to end. Production recall at n_probe << n_centroids is measured
+    in bench.py (ann_ivf_recall_at_5)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, k=5, n_centroids=16, n_probe=16, train="distributed", kmeans_iters=2
+    )
+
+
 _SESSIONS_SQL = """
     WITH ev AS (
         SELECT user_id, ts, epoch_us(ts) AS tus,
