@@ -185,6 +185,25 @@ class TestCatalogResume:
         assert not r2["written"]
         assert set(r2["skipped"]) == {"true", "false"}
 
+    def test_noncanonical_string_partition_keys_roundtrip(self, spark, tmp_path):
+        # regression: partition-directory type inference re-typed a string
+        # partition column from its directory names ('00' came back as int
+        # 0), so the verification read-back rendered '0' != '00' and the
+        # data-loss guard raised forever even though every row was written.
+        # The read-back now pins df's own schema.
+        from pyspark.sql import functions as F
+
+        root = str(tmp_path / "catnoncanon")
+        df = spark.range(20).withColumn(
+            "part_key", F.lpad((F.col("id") % 10).cast("string"), 2, "0")
+        )
+        cat = ParquetCatalog(spark, root)
+        r1 = cat.run_partitioned_job(df, "part_key", "snap-n1")
+        assert set(r1["written"]) == {f"{i:02d}" for i in range(10)}
+        assert cat.read().count() == 20
+        r2 = cat.run_partitioned_job(df, "part_key", "snap-n2")
+        assert not r2["written"] and len(r2["skipped"]) == 10
+
     def test_empty_requested_partition_records_zero_rows(self, spark, tmp_path):
         root = str(tmp_path / "catempty")
         df = spark.range(10).withColumn("part_key", (F_col("id") % 2).cast("string"))

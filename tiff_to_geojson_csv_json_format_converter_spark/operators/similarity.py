@@ -125,7 +125,14 @@ def cosine_pairs(df: DataFrame, threshold_e6: int = 950_000, id_col: str = "vec_
         raise ValueError(f"unknown mode {mode!r}")
     if mode == "auto":
         n = df.count()
-        mode = "broadcast" if n <= broadcast_max_rows else "blocked"
+        if n <= broadcast_max_rows:
+            mode = "broadcast"
+        else:
+            # reuse the count — don't make the blocked path scan again
+            return cosine_pairs_blocked(
+                df, threshold_e6, id_col=id_col, vec_col=vec_col, scale=scale,
+                n_blocks=max(1, -(-n // max(block_rows, 1))),
+            )
     if mode == "blocked":
         return cosine_pairs_blocked(
             df, threshold_e6, id_col=id_col, vec_col=vec_col, scale=scale,
@@ -313,8 +320,13 @@ def cosine_pairs_blocked(df: DataFrame, threshold_e6: int = 950_000,
     # GB-sized JVM buffer per group — measured 2-5x slower than the
     # streamed 4 MB batches mapInPandas uses for the same bytes.
     # Hash-repartition guarantees every (bi, bj) group lands whole in
-    # exactly one partition; the kernel buffers its partition's rows
-    # (object references, no data copy) and runs block_pair per group.
+    # exactly one partition. Hash collisions can co-locate several
+    # groups in one task, so (a) 4x more partitions than groups keeps
+    # the expected worst task at ~2 groups, and (b) the kernel buffers
+    # only PACKED rows (int16-tagged blobs, object references) and
+    # releases each group after processing — per-task peak memory is
+    # the partition's packed bytes + ONE unpacked f64 block pair, not
+    # every co-located group's matrices at once.
     n_groups = B * (B + 1) // 2
 
     def part_kernel(batches):
@@ -322,11 +334,12 @@ def cosine_pairs_blocked(df: DataFrame, threshold_e6: int = 950_000,
         for pdf in batches:
             for key, sub in pdf.groupby(["bi", "bj"], sort=False):
                 frames.setdefault(key, []).append(sub)
-        for chunks in frames.values():
+        for key in list(frames):
+            chunks = frames.pop(key)  # release packed rows as we go
             pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             yield block_pair(pdf)
 
-    return rep.repartition(n_groups, "bi", "bj").mapInPandas(
+    return rep.repartition(4 * n_groups, "bi", "bj").mapInPandas(
         part_kernel, "id_a long, id_b long, dot_q long, cos_e6 long"
     )
 
@@ -349,17 +362,26 @@ def spherical_kmeans_distributed(df: DataFrame, n_centroids: int, iters: int,
     """
     import numpy as np
 
-    # over-fetch so duplicate vectors can be skipped deterministically
-    init = df.select(id_col, vec_col).orderBy(id_col) \
-        .limit(max(4 * n_centroids, 64)).toPandas()
-    V0 = np.stack(init[vec_col].to_numpy()).astype(np.float64)
-    V0 = V0 / np.maximum(np.linalg.norm(V0, axis=1, keepdims=True), 1e-12)
+    # over-fetch so duplicate vectors can be skipped deterministically;
+    # ESCALATE the window when a duplicate-heavy prefix (near-dup shards
+    # sorted by ingest id) yields too few distinct directions — padding
+    # with perturbations while distinct vectors exist further on would
+    # silently degrade the codebook
+    limit = max(4 * n_centroids, 64)
     seen: list = []
-    for v in V0:
-        if not any(np.array_equal(v, s) for s in seen):
-            seen.append(v)
-        if len(seen) == n_centroids:
-            break
+    while True:
+        init = df.select(id_col, vec_col).orderBy(id_col).limit(limit).toPandas()
+        V0 = np.stack(init[vec_col].to_numpy()).astype(np.float64)
+        V0 = V0 / np.maximum(np.linalg.norm(V0, axis=1, keepdims=True), 1e-12)
+        seen = []
+        for v in V0:
+            if not any(np.array_equal(v, s) for s in seen):
+                seen.append(v)
+            if len(seen) == n_centroids:
+                break
+        if len(seen) >= n_centroids or len(init) < limit:
+            break  # enough distinct vectors, or the corpus is exhausted
+        limit *= 8
     C = np.stack(seen)
     dim = C.shape[1]
     while len(C) < n_centroids:

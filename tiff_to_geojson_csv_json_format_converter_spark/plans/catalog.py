@@ -94,16 +94,26 @@ class ParquetCatalog:
         # never Python str(): the two disagree for bool ('true' vs 'True'),
         # decimals, timestamps — a mismatched key made the pending filter
         # select nothing while lineage recorded the partition complete.
-        rendered = {
-            r["pk"]: r["pks"]
-            for r in df.select(
-                F.col(part_col).alias("pk"),
-                F.col(part_col).cast("string").alias("pks"),
-            ).distinct().collect()
-        }
+        render_cols = [
+            F.col(part_col).alias("pk"),
+            F.col(part_col).cast("string").alias("pks"),
+        ]
         if parts is None:
+            # discovery mode: one distinct scan is unavoidable
+            rendered = {r["pk"]: r["pks"]
+                        for r in df.select(*render_cols).distinct().collect()}
             parts = list(rendered.keys())
-        present = set(rendered.keys())
+            present: set | None = set(rendered.keys())
+        else:
+            # explicit parts: render the LITERALS through the engine (a
+            # local one-column frame — no scan of df); whether a requested
+            # partition actually has rows is resolved lazily in _write_bulk,
+            # and only for partitions the read-back did not observe
+            lit_df = self.spark.createDataFrame(
+                [(p,) for p in parts], df.select(part_col).schema
+            )
+            rendered = {r["pk"]: r["pks"] for r in lit_df.select(*render_cols).collect()}
+            present = None
         key_of = lambda p: rendered.get(p, str(p))  # noqa: E731  (str only for parts absent from df, which write 0 rows)
         done = self.completed_parts()
         todo = [p for p in parts if key_of(p) not in done]
@@ -121,7 +131,7 @@ class ParquetCatalog:
         return {"written": written, "skipped": sorted(done.keys())}
 
     def _write_bulk(self, df: DataFrame, part_col: str, todo: list,
-                    snapshot_id: str, key_of, present: set) -> list[str]:
+                    snapshot_id: str, key_of, present: set | None) -> list[str]:
         """All pending partitions in ONE dynamic-overwrite write + ONE
         verification aggregate.
 
@@ -146,9 +156,17 @@ class ParquetCatalog:
             .parquet(f"{self.root}/data")
         )
         try:
-            # read-back compares rendered keys: partition-dir values round-
-            # trip through Spark's own cast-to-string on both sides
-            back = self.read().filter(F.col(part_col).cast("string").isin(list(keys)))
+            # read-back pins df's OWN schema: partition-directory type
+            # inference would otherwise re-type the partition column from
+            # its directory names (a string '00' comes back as int 0) and
+            # the rendered keys would spuriously mismatch, tripping the
+            # data-loss guard below forever. With the explicit schema the
+            # native-value filter also prunes to this job's directories.
+            back = (
+                self.spark.read.option("basePath", f"{self.root}/data")
+                .schema(df.schema).parquet(f"{self.root}/data/*")
+                .filter(F.col(part_col).isin([keys[k] for k in keys]))
+            )
             cols = [c for c in back.columns if c != part_col]
             per_part = (
                 back.groupBy(F.col(part_col).cast("string").alias("part_key"))
@@ -173,6 +191,16 @@ class ParquetCatalog:
             per_part = []
         wall_ms = int((time.perf_counter() - t0) * 1000)
         found = {r["part_key"]: r for r in per_part}
+        missing = [k for k in keys if k not in found]
+        if missing and present is None:
+            # explicit-parts mode deferred the has-rows question to here:
+            # scan ONLY for the partitions the read-back did not observe
+            # (common case: genuinely-empty requested partitions)
+            present = {
+                r["pk"]
+                for r in df.filter(F.col(part_col).isin([keys[k] for k in missing]))
+                .select(F.col(part_col).alias("pk")).distinct().collect()
+            }
         rows = []
         for k in sorted(keys):
             if k in found:
