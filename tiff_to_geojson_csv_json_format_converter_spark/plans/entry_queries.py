@@ -25,8 +25,10 @@ verified row-for-row against the numpy reference oracle in pytest
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -83,6 +85,11 @@ def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("z"),
         ((F.col("l_partkey") + F.col("l_suppkey")) % 10 != 0).alias("valid"),
     )
+
+
+def _values_sql(rows, cols: str) -> str:
+    body = ", ".join("(" + ", ".join(map(str, r)) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES {body}) AS t({cols})"
 
 
 def _rings(pid: str) -> list:
@@ -776,6 +783,151 @@ def q_geojson_format(spark, sf_dir):
     return pts.select(
         "point_id",
         sinks.geojson_feature_col("lon", "lat", "z").alias("feature"),
+    )
+
+
+_FAR_RING = [[10.0, 10.0], [11.0, 10.0], [11.0, 11.0], [10.0, 11.0], [10.0, 10.0]]
+
+
+def _zonal_null_fallback_sql() -> str:
+    corners = ", ".join(
+        f"({i}, {sx}, {sy})" for i, (sx, sy) in enumerate(
+            [(-1, -1), (1, -1), (1, 1), (-1, 1), (-1, -1)])
+    )
+    return f"""
+    WITH pts AS ({_PTS_SQL}),
+    v AS (SELECT * FROM pts WHERE valid),
+    clip AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v
+        WHERE {_raycast_sql([_FAR_RING], 'lon', 'lat')}
+    ),
+    b AS (SELECT MIN(lon) AS mnl, MAX(lon) AS mxl,
+                 MIN(lat) AS mnb, MAX(lat) AS mxb FROM v),
+    geom AS (
+        SELECT (mnl + mxl) / 2.0e0 AS cx, (mnb + mxb) / 2.0e0 AS cy,
+               least(mxl - mnl, mxb - mnb) * 0.1e0 / 2.0e0 AS h
+        FROM b
+    )
+    SELECT 'clip_count' AS kind, 0 AS idx, n AS x_e6, CAST(0 AS BIGINT) AS y_e6
+    FROM clip
+    UNION ALL
+    SELECT 'ring', c.i,
+           CAST(FLOOR((g.cx + c.sx * g.h) * 1000000.0e0 + 0.5e0) AS BIGINT),
+           CAST(FLOOR((g.cy + c.sy * g.h) * 1000000.0e0 + 0.5e0) AS BIGINT)
+    FROM geom g, (VALUES {corners}) AS c(i, sx, sy)
+    """
+
+
+@_register("zonal_null_fallback", _zonal_null_fallback_sql())
+def q_zonal_null_fallback(spark, sf_dir):
+    """D5, hard-oracle form (test2.py:1246-1256, 1463-1473): a query
+    polygon that misses the raster entirely -> the clip yields 0 rows
+    (the "Null" sentinel trigger) and the engine substitutes the
+    reference's center-sample square (side 0.1 * min(extent), exact
+    vertex order and arithmetic). The ring is emitted from
+    geometry.center_sample_ring; the oracle recomputes both halves from
+    the same data."""
+    from ..functions import geometry as geometry_fns
+
+    pts = _pts(spark, sf_dir).filter("valid")
+    n_clip = joins.clip_points(pts, [_FAR_RING], lon_col="lon", lat_col="lat").count()
+    b = pts.agg(
+        F.min("lon"), F.max("lon"), F.min("lat"), F.max("lat")
+    ).collect()[0]
+    ring = geometry_fns.center_sample_ring((b[0], b[2], b[1], b[3]), 0.1)
+    import math
+
+    rows = [("clip_count", 0, int(n_clip), 0)] + [
+        ("ring", i, math.floor(x * 1e6 + 0.5), math.floor(y * 1e6 + 0.5))
+        for i, (x, y) in enumerate(ring)
+    ]
+    return spark.createDataFrame(rows, "kind string, idx int, x_e6 long, y_e6 long")
+
+
+_GEOM_CASES = {
+    "poly_hole": {"type": "Polygon", "coordinates": [
+        [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+        [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]],
+    ]},
+    "multi": {"type": "MultiPolygon", "coordinates": [
+        [[[0, 0], [1, 0], [1, 1], [0, 0]]],
+        [[[5, 5], [6, 5], [6, 6], [5, 5]]],
+    ]},
+    "feature": {"type": "Feature", "properties": {}, "geometry": {
+        "type": "Polygon", "coordinates": [[[2, 2], [3, 2], [3, 3], [2, 2]]]}},
+    "fc_first_only": {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "geometry": {"type": "Polygon",
+         "coordinates": [[[7, 7], [8, 7], [8, 8], [7, 7]]]}},
+        {"type": "Feature", "geometry": {"type": "Polygon",
+         "coordinates": [[[9, 9], [10, 9], [10, 10], [9, 9]]]}},
+    ]},
+    "canvas": [{"type": "Polygon",
+                "coordinates": [[[11, 11], [12, 11], [12, 12], [11, 11]]]},
+               [11, 11, 12, 12]],
+}
+
+# HAND-WRITTEN expectations (deliberately not derived from the code
+# under test): (case, ring_idx, pt_idx, x, y). The FeatureCollection
+# case lists ONLY the first feature's ring — the reference quirk
+# (test2.py:258-262); the MultiPolygon flattens both shells.
+_GEOM_EXPECT = (
+    [("poly_hole", 0, i, x, y) for i, (x, y) in enumerate(
+        [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)])]
+    + [("poly_hole", 1, i, x, y) for i, (x, y) in enumerate(
+        [(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)])]
+    + [("multi", 0, i, x, y) for i, (x, y) in enumerate(
+        [(0, 0), (1, 0), (1, 1), (0, 0)])]
+    + [("multi", 1, i, x, y) for i, (x, y) in enumerate(
+        [(5, 5), (6, 5), (6, 6), (5, 5)])]
+    + [("feature", 0, i, x, y) for i, (x, y) in enumerate(
+        [(2, 2), (3, 2), (3, 3), (2, 2)])]
+    + [("fc_first_only", 0, i, x, y) for i, (x, y) in enumerate(
+        [(7, 7), (8, 7), (8, 8), (7, 7)])]
+    + [("canvas", 0, i, x, y) for i, (x, y) in enumerate(
+        [(11, 11), (12, 11), (12, 12), (11, 11)])]
+)
+
+
+@_register(
+    "geometry_normalize",
+    _values_sql(
+        [(f"'{c}'", r, p, x * 1_000_000, y * 1_000_000)
+         for c, r, p, x, y in _GEOM_EXPECT],
+        "case_id, ring_idx, pt_idx, x_e6, y_e6",
+    ),
+)
+def q_geometry_normalize(spark, sf_dir):
+    """D8, hard-oracle form: geometry normalization as a distributed
+    operator over a column of GeoJSON strings — Polygon-with-hole,
+    MultiPolygon (flattened shells), Feature unwrap, FeatureCollection
+    FIRST-feature-only quirk, and the canvas [geometry, bounds] format
+    (test2.py:256-272, get_raster_stats_direct.py:39-52). Oracle is a
+    hand-written VALUES table, not a replay."""
+    from ..functions import geometry as geometry_fns
+
+    src = spark.createDataFrame(
+        [(k, json.dumps(v)) for k, v in sorted(_GEOM_CASES.items())],
+        "case_id string, geojson string",
+    ).repartition(4)
+
+    def run(batches):
+        import math
+
+        for pdf in batches:
+            out = {k: [] for k in ("case_id", "ring_idx", "pt_idx", "x_e6", "y_e6")}
+            for case_id, doc in zip(pdf["case_id"], pdf["geojson"]):
+                rings = geometry_fns.normalize_geometry(json.loads(doc))
+                for ri, ring in enumerate(rings):
+                    for pi, (x, y) in enumerate(ring):
+                        out["case_id"].append(case_id)
+                        out["ring_idx"].append(ri)
+                        out["pt_idx"].append(pi)
+                        out["x_e6"].append(math.floor(x * 1e6))
+                        out["y_e6"].append(math.floor(y * 1e6))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        run, "case_id string, ring_idx int, pt_idx int, x_e6 long, y_e6 long"
     )
 
 
@@ -1650,11 +1802,6 @@ def _raster_digest_rows():
                     math.floor(bz[k] * 100.0), bool(in_win[k]),
                 ))
     return out
-
-
-def _values_sql(rows, cols: str) -> str:
-    body = ", ".join("(" + ", ".join(map(str, r)) + ")" for r in rows)
-    return f"SELECT * FROM (VALUES {body}) AS t({cols})"
 
 
 def _raster_digest_oracles() -> dict[str, str]:
