@@ -844,6 +844,67 @@ def q_zonal_null_fallback(spark, sf_dir):
     return spark.createDataFrame(rows, "kind string, idx int, x_e6 long, y_e6 long")
 
 
+def _stats_merge_quirk_sql() -> str:
+    return f"""
+    WITH pts AS ({_PTS_SQL}),
+    v AS (SELECT * FROM pts
+          WHERE valid AND ({_raycast_sql(_rings('poly_0003'), 'lon', 'lat')})),
+    per AS (
+        SELECT image_id,
+               MIN(CAST(z AS BIGINT)) AS mn, MAX(CAST(z AS BIGINT)) AS mx,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CAST(z AS BIGINT)) AS BIGINT) AS sz,
+               CAST(SUM(CAST(z AS BIGINT) * CAST(z AS BIGINT)) AS BIGINT) AS sz2
+        FROM v GROUP BY image_id
+    ),
+    f AS (SELECT * FROM per ORDER BY image_id LIMIT 1),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+                   MIN(mn) AS mn, MAX(mx) AS mx FROM per)
+    SELECT a.n_images, a.mn AS min_z, a.mx AS max_z, f.c AS count,
+           CAST(FLOOR(CAST(f.sz AS DOUBLE) / f.c * 1000000.0e0) AS BIGINT) AS mean_e6,
+           CAST(FLOOR(SQRT(CAST(f.sz2 AS DOUBLE) / f.c
+                - (CAST(f.sz AS DOUBLE) / f.c) * (CAST(f.sz AS DOUBLE) / f.c))
+                * 1000000.0e0) AS BIGINT) AS std_e6
+    FROM agg a, f
+    """
+
+
+@_register("stats_merge_quirk", _stats_merge_quirk_sql())
+def q_stats_merge_quirk(spark, sf_dir):
+    """E5, hard-oracle form: the reference's cross-file stats merge
+    keeps the FIRST file's mean/std/count and only widens min/max
+    (test2.py:162-179). Per-image zonal stats are computed distributed
+    (exact int64 sums), folded in image order through the REAL
+    zonal.combine_stats_reference_quirk; the oracle replays the fold as
+    first-row-by-image-id SQL. Integer-valued z makes every sum exact,
+    so mean/std are bit-identical doubles on both sides."""
+    import math
+
+    from ..operators import zonal as zonal_ops
+
+    pts = _pts(spark, sf_dir).filter("valid")
+    clipped = joins.clip_points(pts, _rings("poly_0003"), lon_col="lon", lat_col="lat")
+    zb = F.col("z").cast("long")
+    per = clipped.groupBy("image_id").agg(
+        F.min(zb).alias("mn"), F.max(zb).alias("mx"),
+        F.count("*").alias("c"),
+        F.sum(zb).alias("sz"), F.sum(zb * zb).alias("sz2"),
+    ).collect()
+    rows = []
+    for r in sorted(per, key=lambda r: r["image_id"]):
+        mean = r["sz"] / r["c"]
+        var = r["sz2"] / r["c"] - mean * mean
+        rows.append({"min": r["mn"], "max": r["mx"], "count": r["c"],
+                     "mean": mean, "std_pop": math.sqrt(var)})
+    merged = zonal_ops.combine_stats_reference_quirk(rows)
+    out = (len(per), merged["min"], merged["max"], merged["count"],
+           math.floor(merged["mean"] * 1e6), math.floor(merged["std_pop"] * 1e6))
+    return spark.createDataFrame(
+        [out],
+        "n_images long, min_z long, max_z long, count long, mean_e6 long, std_e6 long",
+    )
+
+
 _GEOM_CASES = {
     "poly_hole": {"type": "Polygon", "coordinates": [
         [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
