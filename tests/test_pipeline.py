@@ -201,6 +201,11 @@ class TestCatalogResume:
         r1 = cat.run_partitioned_job(df, "part_key", "snap-n1")
         assert set(r1["written"]) == {f"{i:02d}" for i in range(10)}
         assert cat.read().count() == 20
+        # the PUBLIC read must also keep the original string keys: without
+        # the pinned _schema.json, inference re-types '00'..'09' to int
+        # 0..9 and distinct partitions become indistinguishable
+        got_keys = {r["part_key"] for r in cat.read().select("part_key").distinct().collect()}
+        assert got_keys == {f"{i:02d}" for i in range(10)}
         r2 = cat.run_partitioned_job(df, "part_key", "snap-n2")
         assert not r2["written"] and len(r2["skipped"]) == 10
 

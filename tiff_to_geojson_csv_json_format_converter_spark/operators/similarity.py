@@ -123,20 +123,19 @@ def cosine_pairs(df: DataFrame, threshold_e6: int = 950_000, id_col: str = "vec_
     """
     if mode not in ("auto", "broadcast", "blocked"):
         raise ValueError(f"unknown mode {mode!r}")
+    n_blocks = None
     if mode == "auto":
         n = df.count()
         if n <= broadcast_max_rows:
             mode = "broadcast"
         else:
+            mode = "blocked"
             # reuse the count — don't make the blocked path scan again
-            return cosine_pairs_blocked(
-                df, threshold_e6, id_col=id_col, vec_col=vec_col, scale=scale,
-                n_blocks=max(1, -(-n // max(block_rows, 1))),
-            )
+            n_blocks = max(1, -(-n // max(block_rows, 1)))
     if mode == "blocked":
         return cosine_pairs_blocked(
             df, threshold_e6, id_col=id_col, vec_col=vec_col, scale=scale,
-            block_rows=block_rows,
+            n_blocks=n_blocks, block_rows=block_rows,
         )
     qdf = with_quantized(df, vec_col, scale).select(
         F.col(id_col).alias("id"), "qvec", "qnorm2"
@@ -364,10 +363,13 @@ def spherical_kmeans_distributed(df: DataFrame, n_centroids: int, iters: int,
 
     # over-fetch so duplicate vectors can be skipped deterministically;
     # ESCALATE the window when a duplicate-heavy prefix (near-dup shards
-    # sorted by ingest id) yields too few distinct directions — padding
-    # with perturbations while distinct vectors exist further on would
-    # silently degrade the codebook
+    # sorted by ingest id) yields too few distinct directions — but CAP
+    # the escalation: init must stay O(bounded) driver memory (the
+    # function's own guarantee), so beyond the cap the perturbation
+    # padding below is the documented fallback, repaired per-iteration
+    # by the empty-cluster reseed
     limit = max(4 * n_centroids, 64)
+    max_fetch = max(64 * n_centroids, 65_536)
     seen: list = []
     while True:
         init = df.select(id_col, vec_col).orderBy(id_col).limit(limit).toPandas()
@@ -379,9 +381,9 @@ def spherical_kmeans_distributed(df: DataFrame, n_centroids: int, iters: int,
                 seen.append(v)
             if len(seen) == n_centroids:
                 break
-        if len(seen) >= n_centroids or len(init) < limit:
-            break  # enough distinct vectors, or the corpus is exhausted
-        limit *= 8
+        if len(seen) >= n_centroids or len(init) < limit or limit >= max_fetch:
+            break  # enough distinct, corpus exhausted, or cap reached
+        limit = min(limit * 8, max_fetch)
     C = np.stack(seen)
     dim = C.shape[1]
     while len(C) < n_centroids:

@@ -9,6 +9,11 @@ an identical layout on plain parquet:
 
     <root>/
       data/part_key=<k>/...parquet      (idempotent overwrite per partition)
+      _schema.json                      (the writer's schema — pinned on
+                                         every read so partition-directory
+                                         type inference can never re-type
+                                         keys: string '00' must not come
+                                         back as int 0)
       _progress/...parquet              (one row per completed partition:
                                          part_key, n_rows, checksum,
                                          wall_ms, snapshot_id)
@@ -90,6 +95,10 @@ class ParquetCatalog:
         _progress and skipped on resume. Dynamic overwrite keeps re-done
         partitions idempotent (each replaces only its own directory).
         """
+        # record the writer's schema so every read() pins it (partition
+        # type inference would otherwise re-type keys from dir names)
+        with open(f"{self.root}/_schema.json", "w") as f:
+            json.dump(df.schema.jsonValue(), f)
         # progress keys use the ENGINE's string rendering (cast to string),
         # never Python str(): the two disagree for bool ('true' vs 'True'),
         # decimals, timestamps — a mismatched key made the pending filter
@@ -109,10 +118,17 @@ class ParquetCatalog:
             # local one-column frame — no scan of df); whether a requested
             # partition actually has rows is resolved lazily in _write_bulk,
             # and only for partitions the read-back did not observe
-            lit_df = self.spark.createDataFrame(
-                [(p,) for p in parts], df.select(part_col).schema
-            )
-            rendered = {r["pk"]: r["pks"] for r in lit_df.select(*render_cols).collect()}
+            try:
+                lit_df = self.spark.createDataFrame(
+                    [(p,) for p in parts], df.select(part_col).schema
+                )
+                rendered = {r["pk"]: r["pks"]
+                            for r in lit_df.select(*render_cols).collect()}
+            except Exception:
+                # loosely-typed parts (ints against a string column, ...):
+                # the strict literal frame rejects them but isin() coerces,
+                # so keep the historical str() rendering for these
+                rendered = {p: str(p) for p in parts}
             present = None
         key_of = lambda p: rendered.get(p, str(p))  # noqa: E731  (str only for parts absent from df, which write 0 rows)
         done = self.completed_parts()
@@ -195,12 +211,19 @@ class ParquetCatalog:
         if missing and present is None:
             # explicit-parts mode deferred the has-rows question to here:
             # scan ONLY for the partitions the read-back did not observe
-            # (common case: genuinely-empty requested partitions)
-            present = {
-                r["pk"]
-                for r in df.filter(F.col(part_col).isin([keys[k] for k in missing]))
-                .select(F.col(part_col).alias("pk")).distinct().collect()
+            # (common case: genuinely-empty requested partitions). Matched
+            # on the RENDERED string, deliberately NOT the same native
+            # isin() the pending write used: a value the write predicate
+            # cannot match (NaN under SQL equality) must trip the guard
+            # below loudly, not be recorded as genuinely-empty lineage.
+            hit = {
+                r["pks"]
+                for r in df.filter(
+                    F.col(part_col).cast("string").isin(list(missing)))
+                .select(F.col(part_col).cast("string").alias("pks"))
+                .distinct().collect()
             }
+            present = {keys[k] for k in missing if k in hit}
         rows = []
         for k in sorted(keys):
             if k in found:
@@ -223,7 +246,19 @@ class ParquetCatalog:
         return sorted(keys)
 
     def read(self) -> DataFrame:
-        return self.spark.read.option("basePath", f"{self.root}/data").parquet(f"{self.root}/data/*")
+        """Read the table with the WRITER's schema pinned (when recorded):
+        without it, partition-directory type inference re-types the
+        partition column from directory names — a string key '00' comes
+        back as int 0, and distinct partitions '0'/'00' collide into one
+        indistinguishable value."""
+        reader = self.spark.read.option("basePath", f"{self.root}/data")
+        schema_path = f"{self.root}/_schema.json"
+        if os.path.exists(schema_path):
+            from pyspark.sql.types import StructType
+
+            with open(schema_path) as f:
+                reader = reader.schema(StructType.fromJson(json.load(f)))
+        return reader.parquet(f"{self.root}/data/*")
 
 
 def _count_checksum(df: DataFrame) -> tuple[int, int]:

@@ -834,13 +834,19 @@ def q_zonal_null_fallback(spark, sf_dir):
     b = pts.agg(
         F.min("lon"), F.max("lon"), F.min("lat"), F.max("lat")
     ).collect()[0]
-    ring = geometry_fns.center_sample_ring((b[0], b[2], b[1], b[3]), 0.1)
     import math
 
-    rows = [("clip_count", 0, int(n_clip), 0)] + [
-        ("ring", i, math.floor(x * 1e6 + 0.5), math.floor(y * 1e6 + 0.5))
-        for i, (x, y) in enumerate(ring)
-    ]
+    rows: list = [("clip_count", 0, int(n_clip), 0)]
+    if b[0] is None:
+        # mirror the oracle on an all-invalid table: NULL bounds make the
+        # ring coordinates NULL (5 rows of NULLs from the cross join)
+        rows += [("ring", i, None, None) for i in range(5)]
+    else:
+        ring = geometry_fns.center_sample_ring((b[0], b[2], b[1], b[3]), 0.1)
+        rows += [
+            ("ring", i, math.floor(x * 1e6 + 0.5), math.floor(y * 1e6 + 0.5))
+            for i, (x, y) in enumerate(ring)
+        ]
     return spark.createDataFrame(rows, "kind string, idx int, x_e6 long, y_e6 long")
 
 
@@ -896,13 +902,15 @@ def q_stats_merge_quirk(spark, sf_dir):
         var = r["sz2"] / r["c"] - mean * mean
         rows.append({"min": r["mn"], "max": r["mx"], "count": r["c"],
                      "mean": mean, "std_pop": math.sqrt(var)})
+    schema = "n_images long, min_z long, max_z long, count long, mean_e6 long, std_e6 long"
+    if not rows:
+        # mirror the oracle: its cross join with an empty first-row CTE
+        # yields zero rows for an empty clip
+        return spark.createDataFrame([], schema)
     merged = zonal_ops.combine_stats_reference_quirk(rows)
     out = (len(per), merged["min"], merged["max"], merged["count"],
            math.floor(merged["mean"] * 1e6), math.floor(merged["std_pop"] * 1e6))
-    return spark.createDataFrame(
-        [out],
-        "n_images long, min_z long, max_z long, count long, mean_e6 long, std_e6 long",
-    )
+    return spark.createDataFrame([out], schema)
 
 
 _GEOM_CASES = {
