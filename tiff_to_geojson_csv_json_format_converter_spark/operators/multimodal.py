@@ -65,6 +65,44 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     return media.mapInPandas(run, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = "media_id string, width int, height int, resized binary, ok boolean"
+
+
+def block_mean_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic block-mean downsample to (out_h, out_w), uint8
+    floor — the pure-numpy resize kernel (reduceat over row/col edges,
+    the same trick the phash uses). Exact and library-free."""
+    h, w = img.shape
+    ry = np.linspace(0, h, out_h + 1).astype(int)
+    rx = np.linspace(0, w, out_w + 1).astype(int)
+    acc = np.add.reduceat(np.add.reduceat(img.astype(np.int64), ry[:-1], axis=0), rx[:-1], axis=1)
+    cnt = np.outer(np.diff(ry), np.diff(rx))
+    cnt[cnt == 0] = 1
+    return (acc // cnt).astype(np.uint8)
+
+
+def resize_media(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
+    """Decode -> block-mean resize -> re-encode, one Arrow batch per
+    ~task. Same poison-pill contract as extract_features: rows whose
+    format has no codec yield ok=false, never task failure."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    img = decode_media(r.bytes, r.media_type, r.fmt)
+                    small = block_mean_resize(img, out_h, out_w)
+                    rows.append((r.media_id, out_w, out_h, small.tobytes(), True))
+                except NotImplementedError:
+                    rows.append((r.media_id, 0, 0, b"", False))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "resized", "ok"]
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling plumbing for video rows: emits (media_id, frame_idx,
     frame_bytes) with deterministic stride — one-to-many mapInPandas,
@@ -83,8 +121,9 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.filter(F.col("media_type") == "video").mapInPandas(run, FRAMES_SCHEMA)
 
 
-def synth_media_df(spark, n: int = 64):
-    """Deterministic fake media table for plumbing tests."""
+def synth_media_rows(n: int = 64) -> list[tuple]:
+    """Deterministic fake media rows — shared by the Spark table below
+    and the single-process oracle replays in plans/entry_queries.py."""
     rows = []
     for i in range(n):
         rng = np.random.default_rng([7, i])
@@ -95,4 +134,9 @@ def synth_media_df(spark, n: int = 64):
             f"media_{i:05d}", mt, "fake/gray8" if mt == "image" else ("wav" if mt == "audio" else "mp4"),
             bytearray(buf), side, side, 30 if mt == "video" else 0, 16000 if mt == "audio" else 0,
         ))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media_df(spark, n: int = 64):
+    """Deterministic fake media table for plumbing tests."""
+    return spark.createDataFrame(synth_media_rows(n), MEDIA_SCHEMA)

@@ -1740,6 +1740,93 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def _media_resize_oracle_sql(n: int = 64, out: int = 8) -> str:
+    """VALUES oracle for media_resize: single-process replay of the
+    block-mean resize over the deterministic synthetic media rows."""
+    from ..operators import multimodal
+
+    vals = []
+    for (mid, mt, fmt, buf, _w, _h, _nf, _sr) in multimodal.synth_media_rows(n):
+        try:
+            img = multimodal.decode_media(bytes(buf), mt, fmt)
+            small = multimodal.block_mean_resize(img, out, out)
+            vals.append((f"'{mid}'", out, out, int(small.sum()), "TRUE"))
+        except NotImplementedError:
+            vals.append((f"'{mid}'", 0, 0, 0, "FALSE"))
+    return _values_sql(vals, "media_id, width, height, pix_sum, ok")
+
+
+@_register("media_resize", _media_resize_oracle_sql())
+def q_media_resize(spark, sf_dir):
+    """Multimodal resize plumbing: decode -> block-mean downsample to
+    8x8 -> re-encode (stub codec, real distributed plumbing); digest
+    columns (dims + exact pixel sum of the resized bytes) vs a
+    single-process replay. Poison-pill rows surface as ok=false."""
+    from ..operators import multimodal
+
+    media = multimodal.synth_media_df(spark, 64)
+    resized = multimodal.resize_media(media, 8, 8)
+
+    def digest(batches):
+        import numpy as np
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pix_sum"] = [
+                int(np.frombuffer(b, dtype=np.uint8).sum()) if len(b) else 0
+                for b in pdf["resized"]
+            ]
+            yield pdf[["media_id", "width", "height", "pix_sum", "ok"]]
+
+    return resized.mapInPandas(
+        digest, "media_id string, width int, height int, pix_sum long, ok boolean"
+    )
+
+
+def _media_frames_oracle_sql(n: int = 64, every_n: int = 10) -> str:
+    """VALUES oracle for media_frame_sample: replay of the stride frame
+    sampler over the synthetic video rows (byte-sum digest per frame)."""
+    from ..operators import multimodal
+
+    vals = []
+    for (mid, mt, _fmt, buf, _w, _h, n_frames, _sr) in multimodal.synth_media_rows(n):
+        if mt != "video":
+            continue
+        nf = int(n_frames or 0)
+        frame_len = max(1, len(buf) // max(nf, 1))
+        for idx in range(0, nf, every_n):
+            fb = bytes(buf)[idx * frame_len:(idx + 1) * frame_len]
+            vals.append((f"'{mid}'", idx, len(fb), sum(fb)))
+    return _values_sql(vals, "media_id, frame_idx, n_bytes, byte_sum")
+
+
+@_register("media_frame_sample", _media_frames_oracle_sql())
+def q_media_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: video rows -> every-10th-frame slices
+    (one-to-many mapInPandas, the raster extractor's explode shape);
+    per-frame byte-count + exact byte-sum digest vs replay."""
+    from ..operators import multimodal
+
+    media = multimodal.synth_media_df(spark, 64)
+    frames = multimodal.sample_frames(media, every_n=10)
+
+    def digest(batches):
+        import numpy as np
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["n_bytes"] = [len(b) for b in pdf["frame_bytes"]]
+            pdf["byte_sum"] = [
+                int(np.frombuffer(b, dtype=np.uint8).sum()) if len(b) else 0
+                for b in pdf["frame_bytes"]
+            ]
+            yield pdf[["media_id", "frame_idx", "n_bytes", "byte_sum"]]
+
+    return frames.mapInPandas(
+        digest, "media_id string, frame_idx int, n_bytes long, byte_sum long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # A2: multi-root search with pattern ladder + caps
 # ---------------------------------------------------------------------------
