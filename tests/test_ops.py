@@ -189,6 +189,46 @@ class TestMultimodal:
         assert len(notok) == 20  # audio/video stubs refuse, don't crash
         assert all(len(f) == 8 for f in feats["feature"])
 
+    def test_block_mean_resize_equals_bruteforce(self):
+        """Independent check of the resize kernel: naive double-loop
+        block mean over the same edge grid, several shapes including
+        non-divisible sizes and non-square outputs. Without this, the
+        media_resize driver oracle (which replays the SAME kernel)
+        would be tautological."""
+        rng = np.random.default_rng(11)
+        for (h, w), (oh, ow) in [((16, 16), (8, 8)), ((24, 24), (8, 8)),
+                                 ((17, 23), (5, 7)), ((8, 8), (8, 8)),
+                                 ((3, 9), (4, 2))]:
+            img = rng.integers(0, 255, (h, w)).astype(np.uint8)
+            got = multimodal.block_mean_resize(img, oh, ow)
+            ry = np.linspace(0, h, oh + 1).astype(int)
+            rx = np.linspace(0, w, ow + 1).astype(int)
+            want = np.zeros((oh, ow), dtype=np.uint8)
+            for i in range(oh):
+                for j in range(ow):
+                    # empty row/col range (upsampling) -> nearest fill:
+                    # the sample at the block-start index (the kernel's
+                    # documented contract)
+                    rr = slice(ry[i], ry[i + 1]) if ry[i] < ry[i + 1] else slice(ry[i], ry[i] + 1)
+                    cc = slice(rx[j], rx[j + 1]) if rx[j] < rx[j + 1] else slice(rx[j], rx[j] + 1)
+                    blk = img[rr, cc].astype(np.int64)
+                    want[i, j] = blk.sum() // blk.size
+            assert got.shape == (oh, ow) and got.dtype == np.uint8
+            assert np.array_equal(got, want), (h, w, oh, ow)
+
+    def test_resize_poison_pill_rows_do_not_kill_tasks(self, spark):
+        """Corrupt bytes in a decodable format yield ok=false rows, not
+        task failures (empty fake/gray8 buffer -> reshape ValueError)."""
+        rows = [("poison", "image", "fake/gray8", bytearray(b""), 0, 0, 0, 0),
+                ("fine", "image", "fake/gray8",
+                 bytearray(bytes(range(16))), 4, 4, 0, 0)]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        out = {r["media_id"]: r for r in multimodal.resize_media(media, 2, 2).collect()}
+        assert out["poison"]["ok"] is False
+        assert out["fine"]["ok"] is True
+        feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+        assert feats["poison"]["ok"] is False
+
     def test_frame_sampling_stride(self, spark):
         media = multimodal.synth_media_df(spark, 30)
         frames = multimodal.sample_frames(media, every_n=10).toPandas()

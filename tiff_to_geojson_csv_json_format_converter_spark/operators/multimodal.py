@@ -58,7 +58,10 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                     edges = np.linspace(0, img.shape[0], feat_dim + 1).astype(int)
                     feat = [float(img[edges[i]:max(edges[i + 1], edges[i] + 1)].mean()) for i in range(feat_dim)]
                     rows.append((r.media_id, feat, len(r.bytes), True))
-                except NotImplementedError:
+                except Exception:
+                    # unsupported codec OR corrupt bytes -> poison-pill row,
+                    # never task failure (real codecs raise ValueError/
+                    # OSError on corrupt media, not NotImplementedError)
                     rows.append((r.media_id, [0.0] * feat_dim, len(r.bytes), False))
             yield pd.DataFrame(rows, columns=["media_id", "feature", "n_bytes", "ok"])
 
@@ -71,13 +74,21 @@ RESIZED_SCHEMA = "media_id string, width int, height int, resized binary, ok boo
 def block_mean_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Deterministic block-mean downsample to (out_h, out_w), uint8
     floor — the pure-numpy resize kernel (reduceat over row/col edges,
-    the same trick the phash uses). Exact and library-free."""
+    the same trick the phash uses). Exact and library-free.
+
+    Upsampling contract (out > in): an empty block takes the sample at
+    its block-start index (reduceat's empty-slice value) — i.e.
+    nearest-neighbor fill, independently brute-force-tested in
+    tests/test_ops.py."""
     h, w = img.shape
     ry = np.linspace(0, h, out_h + 1).astype(int)
     rx = np.linspace(0, w, out_w + 1).astype(int)
     acc = np.add.reduceat(np.add.reduceat(img.astype(np.int64), ry[:-1], axis=0), rx[:-1], axis=1)
-    cnt = np.outer(np.diff(ry), np.diff(rx))
-    cnt[cnt == 0] = 1
+    # reduceat contributes ONE element for an empty slice (the value at
+    # the block-start index), not zero — so the divisor per axis is
+    # max(slice length, 1), never 0->1 on the product (that bug divided
+    # a multi-column sum by 1 for empty-row blocks and wrapped uint8)
+    cnt = np.outer(np.maximum(np.diff(ry), 1), np.maximum(np.diff(rx), 1))
     return (acc // cnt).astype(np.uint8)
 
 
@@ -94,7 +105,11 @@ def resize_media(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
                     img = decode_media(r.bytes, r.media_type, r.fmt)
                     small = block_mean_resize(img, out_h, out_w)
                     rows.append((r.media_id, out_w, out_h, small.tobytes(), True))
-                except NotImplementedError:
+                except Exception:
+                    # any decode/kernel failure — unsupported codec OR
+                    # corrupt bytes — is a poison-pill row, never a task
+                    # failure (with real codecs, corrupt media raises
+                    # ValueError/OSError, not NotImplementedError)
                     rows.append((r.media_id, 0, 0, b"", False))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "resized", "ok"]

@@ -1691,13 +1691,11 @@ def _media_oracle_sql(n: int = 64, feat_dim: int = 8) -> str:
 
     from ..operators import multimodal
 
+    import math
+
     rows = []
-    for i in range(n):
-        rng = np.random.default_rng([7, i])
-        side = 16 + (i % 3) * 8
-        buf = rng.integers(0, 255, side * side, dtype=np.int64).astype(np.uint8).tobytes()
-        mt = ["image", "audio", "video"][i % 3]
-        fmt = "fake/gray8" if mt == "image" else ("wav" if mt == "audio" else "mp4")
+    for mid, mt, fmt, buf, *_rest in multimodal.synth_media_rows(n):
+        buf = bytes(buf)
         try:
             img = multimodal.decode_media(buf, mt, fmt)
             edges = np.linspace(0, img.shape[0], feat_dim + 1).astype(int)
@@ -1707,10 +1705,8 @@ def _media_oracle_sql(n: int = 64, feat_dim: int = 8) -> str:
             feats = [0.0] * feat_dim
             ok = "FALSE"
         for d, v in enumerate(feats):
-            import math
-
             rows.append(
-                f"('media_{i:05d}', CAST({d} AS INT), CAST({math.floor(v * 1e6)} AS BIGINT), "
+                f"('{mid}', CAST({d} AS INT), CAST({math.floor(v * 1e6)} AS BIGINT), "
                 f"CAST({len(buf)} AS BIGINT), {ok})"
             )
     return (
@@ -1740,17 +1736,27 @@ def q_media_features(spark, sf_dir):
     )
 
 
-def _media_resize_oracle_sql(n: int = 64, out: int = 8) -> str:
+# one source of truth for the media digest parameters: the oracle
+# builders and the registered queries must agree or the gate fails in a
+# way that looks like an operator bug
+_MEDIA_N = 64
+_MEDIA_RESIZE_HW = (8, 8)
+_MEDIA_FRAME_EVERY = 10
+
+
+def _media_resize_oracle_sql(n: int = _MEDIA_N,
+                             hw: tuple = _MEDIA_RESIZE_HW) -> str:
     """VALUES oracle for media_resize: single-process replay of the
     block-mean resize over the deterministic synthetic media rows."""
     from ..operators import multimodal
 
+    out_h, out_w = hw
     vals = []
     for (mid, mt, fmt, buf, _w, _h, _nf, _sr) in multimodal.synth_media_rows(n):
         try:
             img = multimodal.decode_media(bytes(buf), mt, fmt)
-            small = multimodal.block_mean_resize(img, out, out)
-            vals.append((f"'{mid}'", out, out, int(small.sum()), "TRUE"))
+            small = multimodal.block_mean_resize(img, out_h, out_w)
+            vals.append((f"'{mid}'", out_w, out_h, int(small.sum()), "TRUE"))
         except NotImplementedError:
             vals.append((f"'{mid}'", 0, 0, 0, "FALSE"))
     return _values_sql(vals, "media_id, width, height, pix_sum, ok")
@@ -1764,8 +1770,8 @@ def q_media_resize(spark, sf_dir):
     single-process replay. Poison-pill rows surface as ok=false."""
     from ..operators import multimodal
 
-    media = multimodal.synth_media_df(spark, 64)
-    resized = multimodal.resize_media(media, 8, 8)
+    media = multimodal.synth_media_df(spark, _MEDIA_N)
+    resized = multimodal.resize_media(media, *_MEDIA_RESIZE_HW)
 
     def digest(batches):
         import numpy as np
@@ -1783,7 +1789,7 @@ def q_media_resize(spark, sf_dir):
     )
 
 
-def _media_frames_oracle_sql(n: int = 64, every_n: int = 10) -> str:
+def _media_frames_oracle_sql(n: int = _MEDIA_N, every_n: int = _MEDIA_FRAME_EVERY) -> str:
     """VALUES oracle for media_frame_sample: replay of the stride frame
     sampler over the synthetic video rows (byte-sum digest per frame)."""
     from ..operators import multimodal
@@ -1807,8 +1813,8 @@ def q_media_frame_sample(spark, sf_dir):
     per-frame byte-count + exact byte-sum digest vs replay."""
     from ..operators import multimodal
 
-    media = multimodal.synth_media_df(spark, 64)
-    frames = multimodal.sample_frames(media, every_n=10)
+    media = multimodal.synth_media_df(spark, _MEDIA_N)
+    frames = multimodal.sample_frames(media, every_n=_MEDIA_FRAME_EVERY)
 
     def digest(batches):
         import numpy as np

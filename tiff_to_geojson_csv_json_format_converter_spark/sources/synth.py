@@ -67,8 +67,10 @@ def phash64(grid: np.ndarray) -> int:
     ry = np.linspace(0, h, 33).astype(int)
     rx = np.linspace(0, w, 33).astype(int)
     small = np.add.reduceat(np.add.reduceat(g, ry[:-1], axis=0), rx[:-1], axis=1)
-    cnt = np.outer(np.diff(ry), np.diff(rx))
-    cnt[cnt == 0] = 1
+    # reduceat yields ONE element for an empty slice (images smaller than
+    # 32px upsample), so the per-axis divisor is max(len, 1) — a flat
+    # 0->1 clamp on the product divided a multi-column sum by 1
+    cnt = np.outer(np.maximum(np.diff(ry), 1), np.maximum(np.diff(rx), 1))
     small = small / cnt
     d = _DCT32 @ small @ _DCT32.T
     block = d[:8, :8].flatten()[1:]
