@@ -139,6 +139,35 @@ def test_cosine_pairs_blocked_equals_broadcast(spark):
     assert got_auto == want
 
 
+def test_cosine_pairs_blocked_wide_width_wire(spark):
+    """Width-tagged wire escalation: vectors whose quantized values
+    overflow int16 (and int32) must ride as int32/int64 blobs and still
+    produce output bit-identical to the broadcast path."""
+    import numpy as np
+
+    from tiff_to_geojson_csv_json_format_converter_spark.operators import similarity
+
+    rows = []
+    rng = np.random.default_rng(3)
+    for i in range(24):
+        if i % 4 == 3:
+            # one huge component -> int64 wire (q ~ 2e9 > int32 max) while
+            # the exact int64 norm stays representable (q^2 ~ 4e18 < 2^63)
+            v = rng.normal(size=8)
+            v[0] = 2.0e6 * (1 if i % 8 == 3 else -1)
+            v = v.tolist()
+        else:
+            mag = [1.0, 1e2, 1e3][i % 4]  # int16 / int32 / int32 widths
+            v = (rng.normal(size=8) * mag).tolist()
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = sorted(map(tuple, similarity.cosine_pairs(
+        emb, threshold_e6=100_000, mode="broadcast").collect()))
+    got = sorted(map(tuple, similarity.cosine_pairs_blocked(
+        emb, threshold_e6=100_000, n_blocks=3).collect()))
+    assert want and got == want
+
+
 def test_multi_root_scan_is_broadcast_no_cartesian(spark):
     """A2: the roots table is broadcast; matching is a LIKE-filtered
     broadcast join, never a cartesian/shuffle of the catalog."""
