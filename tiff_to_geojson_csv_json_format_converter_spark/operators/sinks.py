@@ -456,7 +456,14 @@ def analyze_report_df(per_image: DataFrame) -> DataFrame:
     image sorted by image_id with bounds at fixed %.6f (the portable
     integer assembly of :func:`fixed_point_col`, where the driver-side
     string uses Python float repr). Input is the analyze_images
-    aggregate (test.py:366-515)."""
+    aggregate (test.py:366-515).
+
+    Scale note: line numbering uses a GLOBAL-order window (no
+    partitionBy), which funnels the per-image rows through one task by
+    design — the report is a single ordered document, O(files) rows of
+    short strings (~100 MB at 10^6 files), not O(points). Callers who
+    only need the per-image lines unordered can skip this sink and read
+    the analyze_images aggregate directly."""
     totals = per_image.agg(
         F.count("*").alias("nf"),
         F.sum("valid_pixels").cast("long").alias("nv"),
