@@ -123,13 +123,27 @@ def bench_ivf_distributed(spark, sf_dir: str) -> dict:
     ).select("query_id", "neighbor_id").cache()
     n_ivf = ivf.count()
     dt = time.perf_counter() - t0
-    truth = similarity.brute_topk(emb, k=k).select("query_id", "neighbor_id")
-    hits = ivf.join(truth, ["query_id", "neighbor_id"]).count()
+    truth = similarity.brute_topk(emb, k=k).select("query_id", "neighbor_id").cache()
     n_truth = truth.count()
+    hits = ivf.join(truth, ["query_id", "neighbor_id"]).count()
     ivf.unpersist()
+    # recall/probe curve: the accuracy-throughput dial (n_probe ->
+    # fraction of lists scanned); n_probe == n_centroids is exact by
+    # construction and is the driver-checked mode
+    curve = {}
+    for np_ in (2, 8, 16):
+        cand = similarity.ivf_topk(
+            emb, k=k, n_centroids=16, n_probe=np_, train="distributed",
+            kmeans_iters=2,
+        ).select("query_id", "neighbor_id")
+        curve[f"recall_at_5_probe{np_}"] = round(
+            cand.join(truth, ["query_id", "neighbor_id"]).count() / max(n_truth, 1), 4
+        )
+    truth.unpersist()
     return {
         "sec": round(dt, 3),
         "recall_at_5": round(hits / max(n_truth, 1), 4),
+        **curve,
         "ivf_pairs": n_ivf,
         "truth_pairs": n_truth,
         "n_probe": 4,
