@@ -24,8 +24,7 @@ HEADLINE = [
     "affine_extract",
     "stride_sample",
     "tile_assign",
-    "zonal_stats_box",
-    "zonal_stats_pentagon",
+    "zonal_stats_polys",  # r04: merged box+pentagon+concave_hole union
     "knn",
     "catalog_rollup",
     "dedup_exact",
@@ -36,9 +35,47 @@ HEADLINE = [
     "cell_cover_join",
     "zonal_stats_union",
     "multi_root_scan",
-    # round-3 operators
-    "embed_neardup_blocked",
+    # round-3 operators (r04: embed_neardup is the merged
+    # broadcast+blocked+lsh_routed union)
+    "embed_neardup",
 ]
+
+
+# Host-capability reference for the probe kernel below, measured in a
+# quiet window on this sandbox VM (2026-08-17, best of 20 back-to-back
+# single-process runs). The probe/ref ratio stamped next to each query
+# says how degraded the shared host was AT THAT MOMENT: ~1.0 = quiet,
+# >>1 = the documented bursty external tenant was active, and the
+# query's wall-clock should be read with that multiplier in mind.
+# (BENCH_r03's raster_extract 3.9x mystery was exactly this gap in the
+# evidence chain — the suite numbers carried no host annotation.)
+PROBE_REF_SEC = 0.20
+
+
+def make_host_probe():
+    """Bare single-process run of the SAME extraction kernel the flagship
+    measures (decode -> affine -> reproject -> tile), no Spark, no JVM:
+    a pure host-speed sample. ~0.2 s per call in a quiet window."""
+    import numpy as np
+
+    from tiff_to_geojson_csv_json_format_converter_spark.functions import cells as _cells
+    from tiff_to_geojson_csv_json_format_converter_spark.operators.extract import _extract_image
+    from tiff_to_geojson_csv_json_format_converter_spark.sources import synth as _synth
+
+    records = _synth.generate_pandas(np.arange(32), 4096, [128, 256]).to_dict("records")
+
+    def probe() -> float:
+        t0 = time.perf_counter()
+        for img in records:
+            for _b, bi, bl, bb, _z in _extract_image(
+                img["image_id"], img["bytes"], img["w"], img["h"], img["fmt"],
+                img["transform"], img["crs"], img["band_count"], True, None, None, True,
+            ):
+                _cells.tile_xy(bl, bb, 12)
+        return time.perf_counter() - t0
+
+    probe()  # warm numpy/code paths so the first stamped ratio is honest
+    return probe
 
 
 def bench_blocked_cosine(spark, cpus: int) -> dict:
@@ -117,9 +154,12 @@ def bench_ivf_distributed(spark, sf_dir: str) -> dict:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     k = 5
+    # timed run = the DEFAULT n_probe (8): the out-of-the-box path a user
+    # gets must be the one whose recall the bench reports (>= 0.8 by the
+    # recall/probe curve this default was chosen from)
     t0 = time.perf_counter()
     ivf = similarity.ivf_topk(
-        emb, k=k, n_centroids=16, n_probe=4, train="distributed", kmeans_iters=2
+        emb, k=k, n_centroids=16, train="distributed", kmeans_iters=2
     ).select("query_id", "neighbor_id").cache()
     n_ivf = ivf.count()
     dt = time.perf_counter() - t0
@@ -131,7 +171,7 @@ def bench_ivf_distributed(spark, sf_dir: str) -> dict:
     # fraction of lists scanned); n_probe == n_centroids is exact by
     # construction and is the driver-checked mode
     curve = {}
-    for np_ in (2, 8, 16):
+    for np_ in (2, 4, 16):
         cand = similarity.ivf_topk(
             emb, k=k, n_centroids=16, n_probe=np_, train="distributed",
             kmeans_iters=2,
@@ -146,7 +186,7 @@ def bench_ivf_distributed(spark, sf_dir: str) -> dict:
         **curve,
         "ivf_pairs": n_ivf,
         "truth_pairs": n_truth,
-        "n_probe": 4,
+        "n_probe": 8,
         "n_centroids": 16,
         "train": "distributed",
     }
@@ -175,14 +215,23 @@ def main() -> None:
 
     qs = entry_queries.queries()
     timings: dict[str, float] = {}
+    probe_ratios: dict[str, float] = {}
     total = 0.0
+    host_probe = make_host_probe()
 
-    def best_of(fn, reps: int = 2) -> float:
-        """Steady-state wall-clock: run twice, keep the min. This host is
-        a noisy shared VM (identical runs vary up to 6x); the first run
-        additionally pays codegen + cache materialization. The min of two
-        back-to-back runs is the reproducible number a quiet cluster
-        would show."""
+    def probed(name: str) -> None:
+        """Stamp the host's instantaneous speed next to this query: one
+        bare-kernel probe run, recorded as probe_sec / quiet-window ref.
+        Outside every timed window."""
+        probe_ratios[name] = round(host_probe() / PROBE_REF_SEC, 2)
+
+    def best_of(fn, reps: int = 3) -> float:
+        """Steady-state wall-clock: best of three back-to-back runs. This
+        host is a noisy shared VM (identical runs vary up to 6x); the
+        first run additionally pays codegen + cache materialization.
+        Best-of-2 proved too shallow to dodge multi-second tenant bursts
+        (BENCH_r03); three reps + the per-query probe ratio make a burst
+        visible instead of silently inflating the record."""
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -191,6 +240,7 @@ def main() -> None:
         return best
 
     for name in HEADLINE:
+        probed(name)
         dt = best_of(lambda: qs[name](spark, sf_dir).count())
         timings[name] = round(dt, 3)
         total += dt
@@ -206,12 +256,14 @@ def main() -> None:
 
     extract.extract_points(images.limit(8)).count()  # warm python workers
     n_pts = extract.extract_points(images, valid_only=True).count()
+    probed("raster_extract")
     t_extract = best_of(lambda: extract.extract_points(images, valid_only=True).count())
     timings["raster_extract"] = round(t_extract, 3)
     total += t_extract
 
     # end-to-end spatial join: decode -> clip -> zonal agg in ONE plan
     # (no materialization in between — the plan a user actually runs)
+    probed("raster_zonal_join")
     t_zonal = best_of(
         lambda: zonal.zonal_stats(
             extract.extract_points(images, valid_only=True),
@@ -222,11 +274,13 @@ def main() -> None:
     total += t_zonal
 
     # the scale-shaped fused variants (partial agg inside the Arrow pass)
+    probed("raster_tile_fused")
     timings["raster_tile_fused"] = round(
         best_of(lambda: extract.extract_tile_partials(images, 12).count()), 3
     )
     total += timings["raster_tile_fused"]
 
+    probed("raster_zonal_fused")
     t_zf = best_of(
         lambda: zonal.zonal_stats_fused(images, [synth.GOLDEN_DELHI_RING], "poly_0000").count()
     )
@@ -242,14 +296,27 @@ def main() -> None:
 
     ivf_info = None
     if os.environ.get("SPARK_GRAFT_BENCH_IVF", "1") != "0":
+        probed("ann_ivf_distributed")
         ivf_info = bench_ivf_distributed(spark, sf_dir)
         timings["ann_ivf_distributed"] = ivf_info["sec"]
         total += ivf_info["sec"]
+    ratios = list(probe_ratios.values())
     out = {
         "metric": "headline query suite wall-clock",
         "value": round(total, 3),
         "unit": "sec",
-        "methodology": "per-query best-of-2 back-to-back runs (steady state on a noisy shared host)",
+        "methodology": (
+            "per-query best-of-3 back-to-back runs; host speed stamped per "
+            "query via a bare-kernel probe (ratio vs quiet-window ref "
+            f"{PROBE_REF_SEC}s — ~1.0 quiet, >1 = shared-host tenant burst "
+            "inflating that query's wall-clock)"
+        ),
+        "host_probe": {
+            "ref_sec": PROBE_REF_SEC,
+            "per_query_ratio": probe_ratios,
+            "min_ratio": round(min(ratios), 2),
+            "max_ratio": round(max(ratios), 2),
+        },
         "queries": timings,
         "sf": sf,
         "cpus": cpus,

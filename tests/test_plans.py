@@ -151,10 +151,11 @@ def test_cosine_pairs_blocked_wide_width_wire(spark):
     rng = np.random.default_rng(3)
     for i in range(24):
         if i % 4 == 3:
-            # one huge component -> int64 wire (q ~ 2e9 > int32 max) while
-            # the exact int64 norm stays representable (q^2 ~ 4e18 < 2^63)
+            # one huge component -> int64 wire: q = 2.5e9 > int32 max
+            # 2,147,483,647, while the exact int64 norm stays
+            # representable (q^2 = 6.25e18 < 2^63 ~ 9.22e18)
             v = rng.normal(size=8)
-            v[0] = 2.0e6 * (1 if i % 8 == 3 else -1)
+            v[0] = 2.5e6 * (1 if i % 8 == 3 else -1)
             v = v.tolist()
         else:
             mag = [1.0, 1e2, 1e3][i % 4]  # int16 / int32 / int32 widths
@@ -166,6 +167,53 @@ def test_cosine_pairs_blocked_wide_width_wire(spark):
     got = sorted(map(tuple, similarity.cosine_pairs_blocked(
         emb, threshold_e6=100_000, n_blocks=3).collect()))
     assert want and got == want
+
+
+def test_cosine_pairs_auto_routes_high_threshold_through_lsh(spark):
+    """mode='auto' at near-dup thresholds (>= 0.9) must route through
+    LSH candidates + exact verify: equi-joins on (table, bucket), no
+    cartesian, no blocked explode fan-out, and — on planted near-dups —
+    output equal to the exact blocked path."""
+    from tiff_to_geojson_csv_json_format_converter_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(120):
+        v = rng.normal(size=64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    for j in range(25):
+        # noisy copies: genuinely NEAR (not exact) duplicates at ~0.98
+        base = np.array(rows[j][1]) + rng.normal(size=64) * 0.02
+        rows.append((1000 + j, (base / np.linalg.norm(base)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    routed = similarity.cosine_pairs(emb, threshold_e6=950_000, mode="auto")
+    p = plan_str(routed)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "sequence(" not in p  # no blocked all-block replication fan-out
+    assert "MapInPandas" in p  # signature stage
+    assert "Join" in p  # bucket-candidate equi-join + verify joins
+
+    want = sorted(map(tuple, similarity.cosine_pairs_blocked(
+        emb, threshold_e6=950_000, n_blocks=3).collect()))
+    got = sorted(map(tuple, routed.collect()))
+    assert want and got == want
+
+
+def test_catalog_null_partition_keys_rejected(spark, tmp_path):
+    """NULL partition keys are unwritable (isin() never matches NULL):
+    both discovery mode and an explicit None part must fail up front
+    with the clear error, not the data-loss RuntimeError."""
+    from tiff_to_geojson_csv_json_format_converter_spark.plans.catalog import ParquetCatalog
+
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2)], "k string, v int"
+    )
+    cat = ParquetCatalog(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="NULL partition keys unsupported"):
+        cat.run_partitioned_job(df, "k", "s1")
+    with pytest.raises(ValueError, match="NULL partition keys unsupported"):
+        cat.run_partitioned_job(df, "k", "s1", parts=["a", None])
 
 
 def test_multi_root_scan_is_broadcast_no_cartesian(spark):

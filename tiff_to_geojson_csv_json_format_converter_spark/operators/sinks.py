@@ -102,9 +102,14 @@ def write_compressed_outputs(images_df: DataFrame, out_dir: str,
                     # own to_csv float_format='%.2f', thiswillcompress.py:59);
                     # byte-identical to the former per-row f-string loop
                     # (both render %.2f of the float64 widening), goldens in
-                    # tests/test_sinks_compressed.py
+                    # tests/test_sinks_compressed.py. Pinned explicitly:
+                    # lineterminator (to_csv follows os.linesep on some
+                    # pandas builds — would emit \r\n off-Linux) and na_rep
+                    # ('nan', the f-string rendering of float('nan');
+                    # to_csv's default is an empty field)
                     body = pd.DataFrame({"x": xr, "y": yr, "z": zr}).to_csv(
-                        index=False, float_format="%.2f"
+                        index=False, float_format="%.2f",
+                        lineterminator="\n", na_rep="nan"
                     )
                     emit("csv", f"{r.image_id}.csv.gz", _gz(body.encode()))
                 if "npz" in formats:

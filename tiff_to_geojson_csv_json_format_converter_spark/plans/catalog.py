@@ -107,10 +107,27 @@ class ParquetCatalog:
             F.col(part_col).alias("pk"),
             F.col(part_col).cast("string").alias("pks"),
         ]
+        if parts is not None and any(p is None for p in parts):
+            raise ValueError(
+                f"NULL partition keys unsupported: parts list for "
+                f"{part_col!r} contains None. Filter NULL-keyed rows or "
+                f"fill a sentinel key before writing."
+            )
         if parts is None:
             # discovery mode: one distinct scan is unavoidable
             rendered = {r["pk"]: r["pks"]
                         for r in df.select(*render_cols).distinct().collect()}
+            if None in rendered:
+                # a NULL key is unwritable downstream: the native isin()
+                # pending filter never matches NULL, so its rows would be
+                # silently excluded and the data-loss guard would raise a
+                # misleading 're-queue on the next run' RuntimeError on
+                # every run — fail up front with the real cause instead
+                raise ValueError(
+                    f"NULL partition keys unsupported: column {part_col!r} "
+                    f"has rows with NULL keys. Filter them or fill a "
+                    f"sentinel key before writing."
+                )
             parts = list(rendered.keys())
             present: set | None = set(rendered.keys())
         else:

@@ -287,23 +287,40 @@ def _zonal_sql(polygon_id: str) -> str:
     """
 
 
-@_register("zonal_stats_box", _zonal_sql("poly_0000"))
-def q_zonal_stats_box(spark, sf_dir):
-    """D3/E1: golden Delhi box clip (PIP pandas UDF) -> per-image
-    min/max/mean/std_pop/count (population std, numpy ddof=0)."""
-    return _zonal(spark, sf_dir, "poly_0000")
+# the three D3/E1 clip fixtures as ONE driver row (registry is capped at
+# 50 driver-checked queries; merging same-shaped variants keeps every
+# contract in every CORRECTNESS file): axis-aligned golden Delhi box,
+# non-axis-aligned convex pentagon, concave polygon with a hole
+_ZONAL_SUITE = [
+    ("box", "poly_0000"),
+    ("pentagon", "poly_0003"),
+    ("concave_hole", "poly_0005"),
+]
 
 
-@_register("zonal_stats_pentagon", _zonal_sql("poly_0003"))
-def q_zonal_stats_pentagon(spark, sf_dir):
-    """D3: non-axis-aligned convex clip — exact ray-casting semantics."""
-    return _zonal(spark, sf_dir, "poly_0003")
+def _zonal_suite_sql() -> str:
+    parts = [
+        f"SELECT '{tag}' AS poly, * FROM ({_zonal_sql(pid)})"
+        for tag, pid in _ZONAL_SUITE
+    ]
+    return " UNION ALL ".join(parts)
 
 
-@_register("zonal_stats_concave_hole", _zonal_sql("poly_0005"))
-def q_zonal_stats_hole(spark, sf_dir):
-    """D3: polygon with a hole (even-odd PIP)."""
-    return _zonal(spark, sf_dir, "poly_0005")
+@_register("zonal_stats_polys", _zonal_suite_sql())
+def q_zonal_stats_polys(spark, sf_dir):
+    """D3/E1: per-image min/max/mean/std_pop/count (population std,
+    numpy ddof=0) under three PIP clip fixtures in one tagged union —
+    golden Delhi box, non-axis-aligned convex pentagon (exact
+    ray-casting semantics), and a concave polygon with a hole (even-odd
+    PIP)."""
+    outs = [
+        _zonal(spark, sf_dir, pid).select(F.lit(tag).alias("poly"), "*")
+        for tag, pid in _ZONAL_SUITE
+    ]
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionAll(o)
+    return df
 
 
 def _poly_values_sql() -> str:
@@ -1281,8 +1298,11 @@ def q_ann_brute_topk(spark, sf_dir):
     return similarity.brute_topk(emb, k=5)
 
 
-_NEARDUP_SQL = f"""
-    WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+def _neardup_sql(threshold: int,
+                 corpus_sql: str = "SELECT vec_id, embedding FROM embeddings") -> str:
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM corpus),
     qn AS (
         SELECT vec_id, qv,
                CAST(list_dot_product(list_transform(qv, v -> CAST(v AS DOUBLE)), list_transform(qv, v -> CAST(v AS DOUBLE))) AS BIGINT) AS n2
@@ -1297,27 +1317,62 @@ _NEARDUP_SQL = f"""
     SELECT id_a, id_b, dot_q,
            CAST(FLOOR(CAST(dot_q AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS cos_e6
     FROM pairs
-    WHERE CAST(FLOOR(CAST(dot_q AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000.0e0) AS BIGINT) >= 400000
+    WHERE CAST(FLOOR(CAST(dot_q AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000.0e0) AS BIGINT) >= {threshold}
     """
 
 
-@_register("embed_neardup", _NEARDUP_SQL)
+# the lsh_routed mode needs qualifying pairs to exist at a near-dup
+# threshold: the synthetic embeddings have NO natural pairs >= 0.9, so
+# the corpus is augmented with exact copies of the first 50 vectors
+# (id + 1000000). Exact dups share identical quantized signatures, so
+# the LSH candidate stage finds them with structural (not probabilistic)
+# certainty — the driver row is deterministic; probabilistic near-dup
+# recall is exercised by the planted-noise test in tests/test_plans.py.
+_PLANTED_CORPUS_SQL = (
+    "SELECT vec_id, embedding FROM embeddings UNION ALL "
+    "SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 50"
+)
+
+_NEARDUP_MERGED_SQL = f"""
+    SELECT 'broadcast' AS mode, * FROM ({_neardup_sql(400_000)})
+    UNION ALL
+    SELECT 'blocked' AS mode, * FROM ({_neardup_sql(400_000)})
+    UNION ALL
+    SELECT 'lsh_routed' AS mode, * FROM ({_neardup_sql(950_000, _PLANTED_CORPUS_SQL)})
+    """
+
+
+@_register("embed_neardup", _NEARDUP_MERGED_SQL)
 def q_embed_neardup(spark, sf_dir):
-    """Similarity/near-dup: quantized-cosine pairs >= 0.4, exact, via
-    the broadcast integer-matmul shape (no cartesian in the plan)."""
-    emb = _load(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(emb, threshold_e6=400_000, mode="broadcast")
+    """Similarity/near-dup: quantized-cosine threshold pairs under all
+    THREE physical strategies in one tagged union (one driver row; the
+    registry is capped at 50 checked queries):
 
-
-@_register("embed_neardup_blocked", _NEARDUP_SQL)
-def q_embed_neardup_blocked(spark, sf_dir):
-    """Similarity/near-dup, blocked-Gram-matrix strategy: the 100 TB path
-    (hash-block shuffle + per-block-pair exact matmul; no broadcast, no
-    driver collect, no cartesian — plan-asserted in tests/test_plans.py).
-    Same oracle as embed_neardup: the two physical strategies must be
-    bit-identical."""
-    emb = _load(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs_blocked(emb, threshold_e6=400_000, n_blocks=4)
+    - ``broadcast`` (>= 0.4): corpus-broadcast integer matmul, no
+      cartesian in the plan;
+    - ``blocked`` (>= 0.4): blocked-Gram-matrix 100 TB path (hash-block
+      shuffle + per-block-pair exact matmul; no broadcast, no driver
+      collect — plan-asserted in tests/test_plans.py). Same sub-oracle
+      as broadcast: the two strategies must be bit-identical;
+    - ``lsh_routed`` (>= 0.95, the mode='auto' routing for near-dup
+      thresholds): hyperplane-LSH candidates + exact verify over the
+      embeddings augmented with 50 planted exact dups (id + 1000000),
+      checked against the exhaustive SQL join on the same corpus.
+    """
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bc = similarity.cosine_pairs(emb, threshold_e6=400_000, mode="broadcast")
+    bl = similarity.cosine_pairs_blocked(emb, threshold_e6=400_000, n_blocks=4)
+    planted = emb.unionAll(
+        emb.filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    # mode='auto' at threshold >= 0.9 must route through the LSH path
+    ls = similarity.cosine_pairs(planted, threshold_e6=950_000, mode="auto")
+    return (
+        bc.select(F.lit("broadcast").alias("mode"), "*")
+        .unionAll(bl.select(F.lit("blocked").alias("mode"), "*"))
+        .unionAll(ls.select(F.lit("lsh_routed").alias("mode"), "*"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1586,30 +1641,36 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, k=5)
 
 
-@_register("ann_ivf_topk", _BRUTE_TOPK_SQL)
+_IVF_MERGED_SQL = f"""
+    SELECT t.trainer, s.query_id, s.neighbor_id, s.dot_q, s.cos_e6, s.rank
+    FROM ({_BRUTE_TOPK_SQL}) s
+    CROSS JOIN (VALUES ('sample'), ('distributed')) t(trainer)
+    """
+
+
+@_register("ann_ivf_topk", _IVF_MERGED_SQL)
 def q_ann_ivf_topk(spark, sf_dir):
     """Similarity/IVF in its EXHAUSTIVE-PROBE exact mode (n_probe =
     n_centroids): every list is probed, so the assignment/probe-join/
     re-rank machinery must reproduce the exact brute-force top-k — the
-    oracle is the plain SQL exhaustive scan. Production uses n_probe <<
-    n_centroids (recall pytest-tested); this entry hard-verifies the
-    operator end to end."""
-    emb = _load(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, k=5, n_centroids=16, n_probe=16)
+    oracle is the plain SQL exhaustive scan. BOTH trainers ride in one
+    tagged union (one driver row; registry capped at 50 queries):
 
+    - ``sample``: deterministic driver-side k-means on a bounded sample;
+    - ``distributed``: full-corpus Lloyd trainer (Arrow partial-sum
+      DataFrame jobs — the 10^9-vector path; nothing but
+      (n_centroids x dim) partials transits the driver).
 
-@_register("ann_ivf_distributed", _BRUTE_TOPK_SQL)
-def q_ann_ivf_distributed(spark, sf_dir):
-    """Similarity/IVF with the DISTRIBUTED full-corpus k-means trainer
-    (Lloyd iterations as Arrow partial-sum DataFrame jobs — the
-    10^9-vector path; nothing but (n_centroids x dim) partials transits
-    the driver), exhaustive-probe exact mode so the same brute-force SQL
-    oracle hard-checks the trainer + assignment + probe-join + re-rank
-    end to end. Production recall at n_probe << n_centroids is measured
-    in bench.py (ann_ivf_recall_at_5)."""
+    Production recall at n_probe << n_centroids (default 8 -> recall@5
+    >= 0.8) is measured in bench.py (ann_ivf_recall_at_5)."""
     emb = _load(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
+    sample = similarity.ivf_topk(emb, k=5, n_centroids=16, n_probe=16)
+    dist = similarity.ivf_topk(
         emb, k=5, n_centroids=16, n_probe=16, train="distributed", kmeans_iters=2
+    )
+    return (
+        sample.select(F.lit("sample").alias("trainer"), "*")
+        .unionAll(dist.select(F.lit("distributed").alias("trainer"), "*"))
     )
 
 
@@ -1966,7 +2027,37 @@ def _raster_digest_rows():
     return out
 
 
-def _raster_digest_oracles() -> dict[str, str]:
+def _raster_suite_rows() -> list[tuple]:
+    """All seven decode-pipeline digest contracts as ONE long-format row
+    set (variant, key, m1..m5); unused metric slots are 0. One VALUES
+    oracle -> one driver row covers every contract (the driver checks at
+    most 50 queries per round). Variants and their metric layout:
+
+    - ``extract`` (A3/B1-B6): key 'image/band'; m1=n, m2=sum_lon_e6,
+      m3=sum_lat_e6, m4=sum_elev_cents.
+    - ``tile``: key tile_id; m1=n_points, m2=n_images, m4=sum_elev_cents.
+    - ``zonal`` (D3): key 'image/band'; m1=n, m2=min_elev_cents,
+      m3=max_elev_cents, m4=sum_elev_cents.
+    - ``window`` (A4, test2.py:1322-1338): key 'image/band'; same layout
+      as extract, over the pushed-down golden-window bbox read.
+    - ``stride`` (C1+C2, doesSamples.py:73-89,145-148): sample_cap
+      stride THEN geojson-cap re-stride; extract layout plus
+      m5=sum_pixel_idx (pins WHICH pixels were sampled).
+    - ``force`` (C4, the pyc force_extract switch): valid_only=False;
+      m1=n, m5=sum_pixel_idx (floor(NODATA_F32*100) would overflow
+      int64, so elevation stays out by design).
+    - ``empty_enum`` (B7+A12, willOnlyStoreValidPoints.py:74-95): key
+      image_id; m1=per-image valid count over the FULL catalog —
+      all-NoData images (i%16==7) appear with 0.
+    """
+    import math
+
+    import numpy as np
+
+    from ..operators.extract import _extract_image
+
+    rows: list[tuple] = []
+
     pts = _raster_digest_rows()
     per_img: dict[tuple, list] = {}
     per_tile: dict[int, list] = {}
@@ -1979,65 +2070,17 @@ def _raster_digest_oracles() -> dict[str, str]:
             per_zonal.setdefault((s, band), []).append(zc)
         if in_win:
             per_window.setdefault((s, band), []).append((lon6, lat6, zc))
-
-    extract_rows = [
-        (f"'{s}'", band, len(v), sum(x[0] for x in v), sum(x[1] for x in v),
-         sum(x[2] for x in v))
-        for (s, band), v in sorted(per_img.items())
-    ]
-    tile_rows = [
-        (t, len(v), len({x[0] for x in v}), sum(x[1] for x in v))
-        for t, v in sorted(per_tile.items())
-    ]
-    zonal_rows = [
-        (f"'{s}'", band, len(v), min(v), max(v), sum(v))
-        for (s, band), v in sorted(per_zonal.items())
-    ]
-    window_rows = [
-        (f"'{s}'", band, len(v), sum(x[0] for x in v), sum(x[1] for x in v),
-         sum(x[2] for x in v))
-        for (s, band), v in sorted(per_window.items())
-    ]
-    return {
-        "raster_extract_digest": _values_sql(
-            extract_rows,
-            "image_id, band, n, sum_lon_e6, sum_lat_e6, sum_elev_cents",
-        ),
-        "raster_tile_digest": _values_sql(
-            tile_rows, "tile_id, n_points, n_images, sum_elev_cents"
-        ),
-        "raster_zonal_digest": _values_sql(
-            zonal_rows,
-            "image_id, band, n, min_elev_cents, max_elev_cents, sum_elev_cents",
-        ),
-        "raster_window_digest": _values_sql(
-            window_rows,
-            "image_id, band, n, sum_lon_e6, sum_lat_e6, sum_elev_cents",
-        ),
-    }
-
-
-def _raster_aux_oracles() -> dict[str, str]:
-    """Replay-backed oracles for the remaining decode-pipeline contracts:
-
-    - ``raster_stride_digest`` (C1+C2): sample_cap stride THEN geojson
-      cap re-stride (doesSamples.py:73-89,145-148 — the cap ordering is
-      the contract), valid-only, per-(image, band) exact aggregates.
-      sum_pixel_idx pins WHICH pixels were sampled, not just how many.
-    - ``raster_force_digest`` (C4): valid_only=False (force_extract) —
-      every pixel emitted, NoData included. Aggregates use pixel_idx
-      only: floor(NODATA_F32 * 100) overflows int64, so elevation stays
-      out of this digest by design.
-    - ``raster_empty_enum`` (B7+A12): per-image point count over the
-      FULL image catalog via left join — all-NoData images (i%16==7)
-      appear with 0, proving the early-exit path drops rows, never
-      files.
-    """
-    import math
-
-    import numpy as np
-
-    from ..operators.extract import _extract_image
+    for (s, band), v in sorted(per_img.items()):
+        rows.append((f"'extract'", f"'{s}/{band}'", len(v), sum(x[0] for x in v),
+                     sum(x[1] for x in v), sum(x[2] for x in v), 0))
+    for t, v in sorted(per_tile.items()):
+        rows.append((f"'tile'", f"'{t}'", len(v), len({x[0] for x in v}), 0,
+                     sum(x[1] for x in v), 0))
+    for (s, band), v in sorted(per_zonal.items()):
+        rows.append((f"'zonal'", f"'{s}/{band}'", len(v), min(v), max(v), sum(v), 0))
+    for (s, band), v in sorted(per_window.items()):
+        rows.append((f"'window'", f"'{s}/{band}'", len(v), sum(x[0] for x in v),
+                     sum(x[1] for x in v), sum(x[2] for x in v), 0))
 
     n, sizes = synth.SCALES["xs"]
     pdf = synth.generate_pandas(np.arange(n), n, sizes)
@@ -2057,148 +2100,120 @@ def _raster_aux_oracles() -> dict[str, str]:
             force.setdefault((img["image_id"], band), []).extend(int(v) for v in bi)
         for band, bi, bl, bb, bz in _extract_image(*args, True, None, None, True):
             enum_counts[img["image_id"]] += len(bi)
-    stride_rows = [
-        (f"'{s}'", band, len(v), sum(x[0] for x in v), sum(x[1] for x in v),
-         sum(x[2] for x in v), sum(x[3] for x in v))
-        for (s, band), v in sorted(stride.items())
-    ]
-    force_rows = [
-        (f"'{s}'", band, len(v), sum(v))
-        for (s, band), v in sorted(force.items())
-    ]
-    enum_rows = [(f"'{s}'", c) for s, c in sorted(enum_counts.items())]
-    return {
-        "raster_stride_digest": _values_sql(
-            stride_rows,
-            "image_id, band, n, sum_pixel_idx, sum_lon_e6, sum_lat_e6, sum_elev_cents",
-        ),
-        "raster_force_digest": _values_sql(
-            force_rows, "image_id, band, n, sum_pixel_idx"
-        ),
-        "raster_empty_enum": _values_sql(enum_rows, "image_id, n_points"),
-    }
+    for (s, band), v in sorted(stride.items()):
+        rows.append((f"'stride'", f"'{s}/{band}'", len(v), sum(x[1] for x in v),
+                     sum(x[2] for x in v), sum(x[3] for x in v),
+                     sum(x[0] for x in v)))
+    for (s, band), v in sorted(force.items()):
+        rows.append((f"'force'", f"'{s}/{band}'", len(v), 0, 0, 0, sum(v)))
+    for s, c in sorted(enum_counts.items()):
+        rows.append((f"'empty_enum'", f"'{s}'", c, 0, 0, 0, 0))
+    return rows
 
 
-_RASTER_DIGEST_SQL = _raster_digest_oracles()
-_RASTER_AUX_SQL = _raster_aux_oracles()
+_RASTER_SUITE_SQL = _values_sql(
+    _raster_suite_rows(), "variant, key, m1, m2, m3, m4, m5"
+)
+
+_DIGEST_SCHEMA = ["variant", "key", "m1", "m2", "m3", "m4", "m5"]
 
 
-@_register("raster_stride_digest", _RASTER_AUX_SQL["raster_stride_digest"])
-def q_raster_stride_digest(spark, sf_dir):
-    """C1+C2 digest: sample-cap stride (rate = total//cap) THEN geojson
-    re-stride over the already-capped sequence — the reference's cap
-    ordering (doesSamples.py:73-89,145-148). sum_pixel_idx pins the
-    exact sampled index set."""
-    from ..operators import extract
-
-    pts = extract.extract_points(
-        synth.images_df(spark, "xs"), valid_only=True, sample_cap=64, geojson_cap=20
+def _as_suite(df: DataFrame, variant: str, key_cols: list, metrics: list) -> DataFrame:
+    """Map a digest frame onto the unified (variant, key, m1..m5) layout."""
+    key = key_cols[0].cast("string") if len(key_cols) == 1 else F.concat_ws(
+        "/", *[c.cast("string") for c in key_cols]
     )
-    return pts.groupBy("image_id", F.col("band").cast("int").alias("band")).agg(
-        F.count("*").alias("n"),
-        F.sum("pixel_idx").cast("long").alias("sum_pixel_idx"),
-        F.sum(F.floor(F.col("longitude") * 1e6)).cast("long").alias("sum_lon_e6"),
-        F.sum(F.floor(F.col("latitude") * 1e6)).cast("long").alias("sum_lat_e6"),
-        F.sum(F.floor(F.col("elevation") * 100.0)).cast("long").alias("sum_elev_cents"),
-    )
+    cols = [F.lit(variant).alias("variant"), key.alias("key")]
+    for i in range(5):
+        m = metrics[i] if i < len(metrics) and metrics[i] is not None else F.lit(0)
+        cols.append(m.cast("long").alias(f"m{i + 1}"))
+    return df.select(*cols)
 
 
-@_register("raster_force_digest", _RASTER_AUX_SQL["raster_force_digest"])
-def q_raster_force_digest(spark, sf_dir):
-    """C4 digest: valid_only=False (the pyc force_extract switch) —
-    every pixel of every band emitted, NoData included; the index sum
-    proves nothing was filtered."""
-    from ..operators import extract
-
-    pts = extract.extract_points(synth.images_df(spark, "xs"), valid_only=False)
-    return pts.groupBy("image_id", F.col("band").cast("int").alias("band")).agg(
-        F.count("*").alias("n"),
-        F.sum("pixel_idx").cast("long").alias("sum_pixel_idx"),
-    )
-
-
-@_register("raster_empty_enum", _RASTER_AUX_SQL["raster_empty_enum"])
-def q_raster_empty_enum(spark, sf_dir):
-    """B7+A12 digest: per-image valid-point counts over the FULL image
-    catalog (left join) — the all-NoData early-exit images (i%16==7)
-    must appear with n_points = 0 (dropped rows, enumerated files:
-    willOnlyStoreValidPoints.py:74-95, doesSamples.py:351-466)."""
-    from ..operators import extract
-
-    imgs = synth.images_df(spark, "xs").select("image_id")
-    pts = extract.extract_points(synth.images_df(spark, "xs"), valid_only=True)
-    counts = pts.groupBy("image_id").agg(F.count("*").alias("n_points"))
-    return (
-        imgs.join(counts, "image_id", "left")
-        .na.fill({"n_points": 0})
-        .select("image_id", F.col("n_points").cast("long").alias("n_points"))
-    )
-
-
-@_register("raster_extract_digest", _RASTER_DIGEST_SQL["raster_extract_digest"])
-def q_raster_extract_digest(spark, sf_dir):
-    """A3/B1-B6 decode pipeline, digest form: per (image, band) exact
-    int64 aggregates of the extracted points vs a single-process replay."""
-    from ..operators import extract
-
-    pts = extract.extract_points(synth.images_df(spark, "xs"), valid_only=True)
-    return pts.groupBy("image_id", F.col("band").cast("int").alias("band")).agg(
-        F.count("*").alias("n"),
-        F.sum(F.floor(F.col("longitude") * 1e6)).cast("long").alias("sum_lon_e6"),
-        F.sum(F.floor(F.col("latitude") * 1e6)).cast("long").alias("sum_lat_e6"),
-        F.sum(F.floor(F.col("elevation") * 100.0)).cast("long").alias("sum_elev_cents"),
-    )
-
-
-@_register("raster_tile_digest", _RASTER_DIGEST_SQL["raster_tile_digest"])
-def q_raster_tile_digest(spark, sf_dir):
-    """Tile-assignment digest: per level-12 tile exact counts + sums."""
-    from ..operators import extract
-
-    pts = extract.extract_points(synth.images_df(spark, "xs"), valid_only=True)
-    return tiling.assign_tiles(pts, 12).groupBy("tile_id").agg(
-        F.count("*").alias("n_points"),
-        F.countDistinct("image_id").alias("n_images"),
-        F.sum(F.floor(F.col("elevation") * 100.0)).cast("long").alias("sum_elev_cents"),
-    )
-
-
-@_register("raster_window_digest", _RASTER_DIGEST_SQL["raster_window_digest"])
-def q_raster_window_digest(spark, sf_dir):
-    """A4 windowed read, digest form (test2.py:1322-1338): extraction
-    with a pushed-down bbox pixel window over the golden window bbox,
-    exact per-(image, band) int64 aggregates vs a full-extract-then-
-    filter single-process replay. A window-mapping bug (dropped edge
-    rows, curved-boundary dip, stride/window ordering) breaks the sums;
-    the densified-boundary mapping (extract.bbox_pixel_window) is what
-    makes the two sides agree across the UTM images."""
-    from ..operators import extract
-
-    pts = extract.extract_points(
-        synth.images_df(spark, "xs"), valid_only=True, bbox=GOLDEN_WINDOW_BBOX
-    )
-    return pts.groupBy("image_id", F.col("band").cast("int").alias("band")).agg(
-        F.count("*").alias("n"),
-        F.sum(F.floor(F.col("longitude") * 1e6)).cast("long").alias("sum_lon_e6"),
-        F.sum(F.floor(F.col("latitude") * 1e6)).cast("long").alias("sum_lat_e6"),
-        F.sum(F.floor(F.col("elevation") * 100.0)).cast("long").alias("sum_elev_cents"),
-    )
-
-
-@_register("raster_zonal_digest", _RASTER_DIGEST_SQL["raster_zonal_digest"])
-def q_raster_zonal_digest(spark, sf_dir):
-    """Polygon-clip digest: PIP against the golden Delhi ring, exact
-    per-(image, band) int64 aggregates of the clipped points."""
+@_register("raster_digest_suite", _RASTER_SUITE_SQL)
+def q_raster_digest_suite(spark, sf_dir):
+    """The seven decode-pipeline digest contracts (extract, tile, zonal,
+    window, stride, force, empty_enum — layout in _raster_suite_rows)
+    as one tagged long-format union, hard-checked against the
+    single-process replay VALUES oracle. Every aggregate is an
+    exactly-representable int64, so the comparison is order- and
+    engine-independent; the decode math itself is verified row-for-row
+    against the pure-numpy oracle in tests/test_extract.py."""
     from ..operators import extract, joins
 
-    pts = extract.extract_points(synth.images_df(spark, "xs"), valid_only=True)
-    clipped = joins.clip_points(pts, [synth.GOLDEN_DELHI_RING])
-    return clipped.groupBy("image_id", F.col("band").cast("int").alias("band")).agg(
-        F.count("*").alias("n"),
-        F.min(F.floor(F.col("elevation") * 100.0)).cast("long").alias("min_elev_cents"),
-        F.max(F.floor(F.col("elevation") * 100.0)).cast("long").alias("max_elev_cents"),
-        F.sum(F.floor(F.col("elevation") * 100.0)).cast("long").alias("sum_elev_cents"),
+    imgs = synth.images_df(spark, "xs")
+    ib = [F.col("image_id"), F.col("band").cast("int").alias("band")]
+    lon6 = F.sum(F.floor(F.col("longitude") * 1e6))
+    lat6 = F.sum(F.floor(F.col("latitude") * 1e6))
+    cents = F.floor(F.col("elevation") * 100.0)
+
+    pts = extract.extract_points(imgs, valid_only=True)
+    ext = pts.groupBy(*ib).agg(
+        F.count("*").alias("n"), lon6.alias("slon"), lat6.alias("slat"),
+        F.sum(cents).alias("sz"),
     )
+    parts = [_as_suite(ext, "extract", [F.col("image_id"), F.col("band")],
+                       [F.col("n"), F.col("slon"), F.col("slat"), F.col("sz")])]
+
+    tile = tiling.assign_tiles(pts, 12).groupBy("tile_id").agg(
+        F.count("*").alias("n"), F.countDistinct("image_id").alias("ni"),
+        F.sum(cents).alias("sz"),
+    )
+    parts.append(_as_suite(tile, "tile", [F.col("tile_id")],
+                           [F.col("n"), F.col("ni"), None, F.col("sz")]))
+
+    zonal = (
+        joins.clip_points(pts, [synth.GOLDEN_DELHI_RING])
+        .groupBy(*ib).agg(
+            F.count("*").alias("n"), F.min(cents).alias("mn"),
+            F.max(cents).alias("mx"), F.sum(cents).alias("sz"),
+        )
+    )
+    parts.append(_as_suite(zonal, "zonal", [F.col("image_id"), F.col("band")],
+                           [F.col("n"), F.col("mn"), F.col("mx"), F.col("sz")]))
+
+    win = (
+        extract.extract_points(imgs, valid_only=True, bbox=GOLDEN_WINDOW_BBOX)
+        .groupBy(*ib).agg(
+            F.count("*").alias("n"), lon6.alias("slon"), lat6.alias("slat"),
+            F.sum(cents).alias("sz"),
+        )
+    )
+    parts.append(_as_suite(win, "window", [F.col("image_id"), F.col("band")],
+                           [F.col("n"), F.col("slon"), F.col("slat"), F.col("sz")]))
+
+    stride = (
+        extract.extract_points(imgs, valid_only=True, sample_cap=64, geojson_cap=20)
+        .groupBy(*ib).agg(
+            F.count("*").alias("n"), lon6.alias("slon"), lat6.alias("slat"),
+            F.sum(cents).alias("sz"), F.sum("pixel_idx").alias("spx"),
+        )
+    )
+    parts.append(_as_suite(stride, "stride", [F.col("image_id"), F.col("band")],
+                           [F.col("n"), F.col("slon"), F.col("slat"), F.col("sz"),
+                            F.col("spx")]))
+
+    force = (
+        extract.extract_points(imgs, valid_only=False)
+        .groupBy(*ib).agg(
+            F.count("*").alias("n"), F.sum("pixel_idx").alias("spx"),
+        )
+    )
+    parts.append(_as_suite(force, "force", [F.col("image_id"), F.col("band")],
+                           [F.col("n"), None, None, None, F.col("spx")]))
+
+    enum = (
+        imgs.select("image_id")
+        .join(pts.groupBy("image_id").agg(F.count("*").alias("n")),
+              "image_id", "left")
+        .na.fill({"n": 0})
+    )
+    parts.append(_as_suite(enum, "empty_enum", [F.col("image_id")], [F.col("n")]))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 # ---------------------------------------------------------------------------
