@@ -32,8 +32,20 @@ FRAMES_SCHEMA = "media_id string, frame_idx int, frame_bytes binary"
 
 
 def decode_media(buf: bytes, media_type: str, fmt: str) -> np.ndarray:
-    """STUB decode. ``fake/gray8`` decodes to a uint8 image; anything
-    real raises until a codec library is provisioned."""
+    """Decode media bytes to a 2D uint8 array.
+
+    REAL codec: ``png`` — the in-repo pure numpy+zlib baseline PNG
+    decoder (sources/png.py; gray/RGB/RGBA/palette, all five scanline
+    filters, CRC-verified). Multi-channel images collapse to
+    deterministic integer luma so the feature/resize kernels see one
+    canonical 2D view. ``fake/gray8`` remains the deterministic
+    plumbing-test format. Audio/video codecs stay stubbed (no ffmpeg in
+    this container): they raise NotImplementedError, which the operators
+    surface as ok=false poison-pill rows."""
+    if fmt == "png":
+        from ..sources import png as _png
+
+        return _png.luma_u8(_png.decode_png(buf))
     if fmt == "fake/gray8":
         side = max(1, int(np.sqrt(len(buf))))
         return np.frombuffer(buf[: side * side], dtype=np.uint8).reshape(side, side)
@@ -137,16 +149,30 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def synth_media_rows(n: int = 64) -> list[tuple]:
-    """Deterministic fake media rows — shared by the Spark table below
-    and the single-process oracle replays in plans/entry_queries.py."""
+    """Deterministic media rows — shared by the Spark table below and
+    the single-process oracle replays in plans/entry_queries.py. Image
+    rows alternate between REAL PNG bytes (encoded by sources/png.py,
+    rotating gray/RGB/RGBA content and all five scanline filters — the
+    in-repo decoder round-trips them exactly) and the ``fake/gray8``
+    plumbing format; audio/video stay stub formats (poison-pill path)."""
+    from ..sources import png as _png
+
     rows = []
     for i in range(n):
         rng = np.random.default_rng([7, i])
         side = 16 + (i % 3) * 8
-        buf = rng.integers(0, 255, side * side, dtype=np.int64).astype(np.uint8).tobytes()
         mt = ["image", "audio", "video"][i % 3]
+        if mt == "image" and (i // 3) % 2 == 0:
+            fmt = "png"
+            nch = [1, 3, 4][(i // 6) % 3]
+            shape = (side, side) if nch == 1 else (side, side, nch)
+            img = rng.integers(0, 255, shape, dtype=np.int64).astype(np.uint8)
+            buf = _png.encode_png(img, filter_type=(i // 3) % 5)
+        else:
+            fmt = "fake/gray8" if mt == "image" else ("wav" if mt == "audio" else "mp4")
+            buf = rng.integers(0, 255, side * side, dtype=np.int64).astype(np.uint8).tobytes()
         rows.append((
-            f"media_{i:05d}", mt, "fake/gray8" if mt == "image" else ("wav" if mt == "audio" else "mp4"),
+            f"media_{i:05d}", mt, fmt,
             bytearray(buf), side, side, 30 if mt == "video" else 0, 16000 if mt == "audio" else 0,
         ))
     return rows

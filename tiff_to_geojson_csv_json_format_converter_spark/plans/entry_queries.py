@@ -2316,3 +2316,77 @@ def q_events_windowed(spark, sf_dir):
         F.unix_timestamp("window_start").cast("long").alias("window_start_s"),
         "event_type", "n", "sum_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# B10: geometry buffer (edge-normal offset + miter join)
+# ---------------------------------------------------------------------------
+
+def _buffer_fixtures() -> list[tuple]:
+    """Every synth polygon ring (convex, non-axis-aligned, concave with
+    hole) plus an L-shaped reflex fixture that exercises the miter join
+    at a concave vertex — the case where naive vertex-normal offsetting
+    is provably wrong (tests/test_geometry.py counterexample)."""
+    fixtures = [
+        (p["polygon_id"], i, [list(map(float, pt)) for pt in ring])
+        for p in synth.polygons()
+        for i, ring in enumerate(p["rings"])
+    ]
+    fixtures.append(("concave_L", 0, [
+        [0.0, 0.0], [4.0, 0.0], [4.0, 1.0], [1.0, 1.0], [1.0, 3.0], [0.0, 3.0],
+    ]))
+    return fixtures
+
+
+def _buffer_oracle_sql() -> str:
+    import math
+
+    from ..functions import geometry as _geometry
+
+    rows = []
+    for pid, ridx, ring in _buffer_fixtures():
+        out = _geometry.buffer_ring(ring, 0.001)
+        for vi, (x, y) in enumerate(out):
+            rows.append((f"'{pid}'", ridx, vi,
+                         math.floor(x * 1e6), math.floor(y * 1e6)))
+    return _values_sql(rows, "polygon_id, ring_idx, vertex_idx, x_e6, y_e6")
+
+
+@_register("geometry_buffer", _buffer_oracle_sql())
+def q_geometry_buffer(spark, sf_dir):
+    """B10 (test2.py:275-277, polygon.buffer(0.001)): outward offset of
+    every fixture ring by the reference's boundary-tolerance distance,
+    vertices emitted fixed-point e6 against a single-process replay
+    VALUES oracle. Runs as a distributed Arrow pass over a ring frame
+    (one ring per row — the shape a polygon-layer table has at scale);
+    the kernel itself (miter joins, reflex vertices, CW/CCW orientation)
+    is brute-force-verified in tests/test_geometry.py."""
+    import json as _json
+
+    def kernel(batches):
+        import math
+
+        from ..functions import geometry as _geometry
+
+        for pdf in batches:
+            out = {"polygon_id": [], "ring_idx": [], "vertex_idx": [],
+                   "x_e6": [], "y_e6": []}
+            for pid, ridx, rj in zip(pdf["polygon_id"], pdf["ring_idx"],
+                                     pdf["ring_json"]):
+                buf = _geometry.buffer_ring(_json.loads(rj), 0.001)
+                for vi, (x, y) in enumerate(buf):
+                    out["polygon_id"].append(pid)
+                    out["ring_idx"].append(int(ridx))
+                    out["vertex_idx"].append(vi)
+                    out["x_e6"].append(math.floor(x * 1e6))
+                    out["y_e6"].append(math.floor(y * 1e6))
+            yield pd.DataFrame(out)
+
+    rings = spark.createDataFrame(
+        [(pid, ridx, _json.dumps(ring)) for pid, ridx, ring in _buffer_fixtures()],
+        "polygon_id string, ring_idx int, ring_json string",
+    )
+    return rings.mapInPandas(
+        kernel,
+        "polygon_id string, ring_idx int, vertex_idx int, x_e6 long, y_e6 long",
+    )
