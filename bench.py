@@ -180,13 +180,16 @@ def bench_ivf_distributed(spark, sf_dir: str) -> dict:
             cand.join(truth, ["query_id", "neighbor_id"]).count() / max(n_truth, 1), 4
         )
     truth.unpersist()
+    import inspect
+
+    default_probe = inspect.signature(similarity.ivf_topk).parameters["n_probe"].default
     return {
         "sec": round(dt, 3),
         "recall_at_5": round(hits / max(n_truth, 1), 4),
         **curve,
         "ivf_pairs": n_ivf,
         "truth_pairs": n_truth,
-        "n_probe": 8,
+        "n_probe": default_probe,
         "n_centroids": 16,
         "train": "distributed",
     }

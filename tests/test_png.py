@@ -78,6 +78,14 @@ def test_corrupt_bytes_raise_value_error():
         png.decode_png(bytes(flipped))
     with pytest.raises(ValueError, match="truncated|missing"):
         png.decode_png(good[:40])
+    # CRC-valid IHDR with the wrong payload size must be ValueError,
+    # not a struct.error leaking through the documented contract
+    bad_ihdr = (
+        b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", b"\x00" * 12)
+        + png._chunk(b"IDAT", b"x") + png._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IHDR length"):
+        png.decode_png(bad_ihdr)
 
 
 def test_interlaced_and_16bit_raise_not_implemented():

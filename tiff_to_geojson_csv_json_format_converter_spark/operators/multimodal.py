@@ -2,15 +2,21 @@
 metadata, with decode / feature-extract / resize / frame-sample operators.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, partitioning, UDF
-signatures) is real and tested; the actual media codecs are STUBBED
-(this container has no image/audio libraries): ``decode_media`` raises
-``NotImplementedError`` for real formats and supports the deterministic
-``fake/*`` formats the tests use. Swapping in a real codec is a
-one-function change — the distributed plumbing does not move.
+signatures) is real and tested. Codec status:
 
-Raster images ARE fully supported end-to-end via sources.codecs (the
-engine's own numpy TIFF/raw/npy codecs); this module is the general
-media surface beyond rasters.
+- IMAGE decode is REAL: ``decode_media('png')`` runs the in-repo pure
+  numpy+zlib baseline PNG decoder (sources/png.py — gray/RGB/RGBA/
+  palette, all five scanline filters, CRC-verified), plus the
+  deterministic ``fake/gray8`` plumbing format.
+- AUDIO/VIDEO codecs remain stubbed (this container has no ffmpeg):
+  ``decode_media`` raises ``NotImplementedError`` for them, which the
+  operators surface as ok=false poison-pill rows. Swapping in a real
+  codec is a one-function change — the distributed plumbing does not
+  move.
+
+Raster imagery is separately supported end-to-end via sources.codecs
+(the engine's own numpy TIFF/raw/npy codecs); this module is the
+general media surface beyond rasters.
 """
 
 from __future__ import annotations

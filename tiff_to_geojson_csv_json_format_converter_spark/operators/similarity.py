@@ -95,8 +95,15 @@ def cosine_pairs(df: DataFrame, threshold_e6: int = 950_000, id_col: str = "vec_
                  mode: str = "auto", broadcast_max_rows: int = 1_000_000,
                  block_rows: int = 500_000,
                  lsh_route_threshold_e6: int = 900_000) -> DataFrame:
-    """Embedding near-dup pairs: quantized cosine >= threshold, EXACT,
-    with no cartesian product anywhere in the plan.
+    """Embedding near-dup pairs: quantized cosine >= threshold, no
+    cartesian product anywhere in the plan. Every emitted pair is
+    EXACT-verified (no false positives in any mode); RECALL is
+    mode-dependent: ``broadcast``/``blocked`` are exhaustive (recall 1),
+    while the ``lsh`` route — the auto default at thresholds >= 0.9 —
+    is candidate-based (recall >= 0.9988 per pair at cos 0.95 with the
+    default tables; see :func:`cosine_pairs_lsh`). Callers needing
+    guaranteed recall 1 at high thresholds must pass ``mode='blocked'``
+    explicitly.
 
     An exact threshold join at moderate thresholds (the registered query
     runs 0.4, where qualifying pairs are NOT high-cosine planted dups, so
@@ -386,35 +393,39 @@ def cosine_pairs_lsh(df: DataFrame, threshold_e6: int = 950_000,
     broadcast/blocked paths, so no false positives ever. Recall is
     probabilistic (1 - (1 - p^n_planes)^n_tables with
     p = 1 - theta/pi): with the defaults (16 tables x 10 planes),
-    >= 0.9997 per pair at cos 0.95 and >= 1 - 2e-7 at cos 0.99 —
+    >= 0.9988 per pair at cos 0.95 and >= 1 - 2e-7 at cos 0.99 —
     deterministic for a fixed seed, and verified equal to the blocked
     path on planted dups in tests. Callers needing guaranteed recall 1
     at these thresholds must pay the quadratic and use
     ``mode='blocked'``.
+
+    Fully lazy: when ``dim`` is not given, the (seeded, deterministic)
+    plane tensor is materialized inside the signature kernel from the
+    first batch's vector width — no driver-side job runs at call time.
     """
-    if dim is None:
-        first = df.select(vec_col).head(1)
-        if not first:
-            return df.sparkSession.createDataFrame(
-                [], "id_a long, id_b long, dot_q long, cos_e6 long"
-            )
-        dim = len(first[0][0])
-    planes = lsh_planes_int(n_tables, n_planes, dim, seed)
-    spark = df.sparkSession
-    b_planes = spark.sparkContext.broadcast(planes)
+    plane_cache: dict[int, np.ndarray] = (
+        {dim: lsh_planes_int(n_tables, n_planes, dim, seed)} if dim else {}
+    )
 
     def buckets(batches):
-        P = b_planes.value
         for pdf in batches:
             V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
-            ids = pdf["id"].to_numpy()
-            rows = []
-            for t in range(P.shape[0]):
-                bits = (V @ P[t].T) > 0  # exact int64 dot
-                vals = (bits.astype(np.int64) << np.arange(P.shape[1], dtype=np.int64)).sum(axis=1)
-                for i in range(len(ids)):
-                    rows.append((int(ids[i]), t, int(vals[i])))
-            yield pd.DataFrame(rows, columns=["id", "table", "bucket"])
+            ids = pdf["id"].to_numpy().astype(np.int64)
+            d = V.shape[1]
+            P = plane_cache.get(d)
+            if P is None:
+                P = plane_cache[d] = lsh_planes_int(n_tables, n_planes, d, seed)
+            # one matmul for ALL tables: (rows, dim) @ (dim, tables*planes)
+            bits = (V @ P.reshape(-1, d).T) > 0  # exact int64 dots
+            weights = 1 << np.arange(n_planes, dtype=np.int64)
+            vals = (
+                bits.reshape(len(ids), n_tables, n_planes).astype(np.int64) * weights
+            ).sum(axis=2)  # (rows, tables)
+            yield pd.DataFrame({
+                "id": np.repeat(ids, n_tables),
+                "table": np.tile(np.arange(n_tables, dtype=np.int32), len(ids)),
+                "bucket": vals.ravel(),
+            })
 
     qdf = with_quantized(df, vec_col, scale).select(
         F.col(id_col).alias("id"), "qvec", "qnorm2"
@@ -660,15 +671,19 @@ def lsh_topk(df: DataFrame, k: int = 5, n_planes: int = 16, id_col: str = "vec_i
 
     def buckets(batches):
         P = b_planes.value
+        nt, npl, d = P.shape
+        flat = P.reshape(-1, d).T  # (dim, tables*planes)
+        weights = 1 << np.arange(npl, dtype=np.int64)
         for pdf in batches:
             V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
-            rows = []
-            for t in range(P.shape[0]):
-                bits = (V @ P[t].T) > 0  # exact int64 dot
-                vals = (bits.astype(np.int64) << np.arange(P.shape[1], dtype=np.int64)).sum(axis=1)
-                for i, vid in enumerate(pdf[id_col]):
-                    rows.append((int(vid), t, int(vals[i])))
-            yield pd.DataFrame(rows, columns=["id", "table", "bucket"])
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            bits = (V @ flat) > 0  # exact int64 dots, all tables at once
+            vals = (bits.reshape(len(ids), nt, npl).astype(np.int64) * weights).sum(axis=2)
+            yield pd.DataFrame({
+                "id": np.repeat(ids, nt),
+                "table": np.tile(np.arange(nt, dtype=np.int32), len(ids)),
+                "bucket": vals.ravel(),
+            })
 
     sig = with_quantized(df, vec_col).select(id_col, "qvec").mapInPandas(
         buckets, "id long, table int, bucket long"

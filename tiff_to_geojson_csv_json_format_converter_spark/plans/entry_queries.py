@@ -2115,9 +2115,6 @@ _RASTER_SUITE_SQL = _values_sql(
     _raster_suite_rows(), "variant, key, m1, m2, m3, m4, m5"
 )
 
-_DIGEST_SCHEMA = ["variant", "key", "m1", "m2", "m3", "m4", "m5"]
-
-
 def _as_suite(df: DataFrame, variant: str, key_cols: list, metrics: list) -> DataFrame:
     """Map a digest frame onto the unified (variant, key, m1..m5) layout."""
     key = key_cols[0].cast("string") if len(key_cols) == 1 else F.concat_ws(

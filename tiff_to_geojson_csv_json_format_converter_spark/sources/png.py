@@ -117,6 +117,8 @@ def decode_png(buf: bytes) -> np.ndarray:
         if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {tag!r} chunk")
         if tag == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"bad IHDR length {len(data)} (want 13)")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif tag == b"IDAT":
             idat.append(data)
