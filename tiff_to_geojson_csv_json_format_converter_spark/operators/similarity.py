@@ -559,7 +559,7 @@ def spherical_kmeans_distributed(df: DataFrame, n_centroids: int, iters: int,
     return C
 
 
-def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 8,
+def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
              kmeans_iters: int = 3, train: str = "sample") -> DataFrame:
     """IVF (inverted-file) approximate top-k: vectors are assigned to the
@@ -568,11 +568,12 @@ def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 8,
     candidates. The scale path: candidate generation is an equi-join on
     centroid id; list sizes bound the fan-out.
 
-    The ``n_probe=8`` default (half the default codebook) is chosen from
-    the measured recall/probe curve on the bench embeddings (recall@5 =
-    0.35/0.55/0.80/1.0 at n_probe 2/4/8/16): a recall-sensitive training
-    pipeline should get >= 0.8 recall out of the box, and callers tune
-    DOWN for speed once they've measured their own corpus.
+    The ``n_probe=10`` default is chosen from the measured recall/probe
+    curve on the sf0.1 bench embeddings (recall@5 = 0.35/0.55/0.80/0.84/
+    0.88/1.0 at n_probe 2/4/8/9/10/16): a recall-sensitive training
+    pipeline should get >= 0.8 recall out of the box WITH margin (the
+    curve's knee sits right at 8, so 8 would gate at ~0.80 exactly);
+    callers tune DOWN for speed once they've measured their own corpus.
 
     ``train='sample'`` (default): deterministic driver-side spherical
     k-means on a bounded 4096-row sample — cheap, reproducible, fine for
