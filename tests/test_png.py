@@ -88,10 +88,10 @@ def test_corrupt_bytes_raise_value_error():
         png.decode_png(bad_ihdr)
 
 
-def test_interlaced_and_16bit_raise_not_implemented():
+def test_interlaced_and_subbyte_depths_raise_not_implemented():
     import struct
 
-    for depth, interlace in ((8, 1), (16, 0)):
+    for depth, interlace in ((8, 1), (4, 0), (1, 0)):
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, interlace)
         buf = (
             b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", ihdr)
@@ -99,6 +99,28 @@ def test_interlaced_and_16bit_raise_not_implemented():
         )
         with pytest.raises((NotImplementedError, ValueError)):
             png.decode_png(buf)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("shape", [(11, 7), (6, 9, 3), (5, 4, 4)])
+def test_16bit_roundtrip_exact(shape, filter_type):
+    """Depth 16 (the elevation-raster depth): big-endian samples,
+    byte-level filters with a 2-byte-per-channel left offset — must
+    round-trip bit-exactly like depth 8."""
+    img = (
+        np.random.default_rng(90 + filter_type)
+        .integers(0, 65535, shape, dtype=np.int64)
+        .astype(np.uint16)
+    )
+    out = png.decode_png(png.encode_png(img, filter_type=filter_type))
+    assert out.dtype == np.uint16 and out.shape == img.shape
+    np.testing.assert_array_equal(out, img)
+
+
+def test_16bit_decode_media_takes_high_byte():
+    img = np.random.default_rng(5).integers(0, 65535, (12, 12), dtype=np.int64).astype(np.uint16)
+    got = multimodal.decode_media(png.encode_png(img, 2), "image", "png")
+    np.testing.assert_array_equal(got, (img >> 8).astype(np.uint8))
 
 
 def test_decode_media_png_real_bytes():

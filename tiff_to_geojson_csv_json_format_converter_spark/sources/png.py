@@ -9,10 +9,11 @@ test2.py:1024).
 
 Scope (raises otherwise, so the poison-pill path stays honest):
 
-- bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+
-  alpha), 6 (RGBA); all five scanline filters (None/Sub/Up/Average/
-  Paeth) on both encode and decode; CRC-verified chunks.
-- interlaced (Adam7) and 1/2/4/16-bit images raise NotImplementedError;
+- bit depths 8 and 16 (big-endian samples, the elevation-raster depth);
+  color types 0 (gray), 2 (RGB), 3 (palette, depth 8), 4 (gray+alpha),
+  6 (RGBA); all five scanline filters (None/Sub/Up/Average/Paeth) on
+  both encode and decode; CRC-verified chunks.
+- interlaced (Adam7) and 1/2/4-bit images raise NotImplementedError;
   structurally broken bytes raise ValueError — corrupt media must be
   DETECTED, not mis-decoded.
 
@@ -54,11 +55,19 @@ def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
-    """Baseline PNG writer for uint8 images: (h, w) -> gray, (h, w, 2) ->
-    gray+alpha, (h, w, 3) -> RGB, (h, w, 4) -> RGBA. ``filter_type``
-    (0-4) is applied to every scanline — the encoder exists to give the
-    DECODER deterministic real bytes covering every filter path."""
-    img = np.asarray(img, dtype=np.uint8)
+    """Baseline PNG writer: uint8 input -> bit depth 8, uint16 input ->
+    bit depth 16 (big-endian per spec). Shapes: (h, w) -> gray,
+    (h, w, 2) -> gray+alpha, (h, w, 3) -> RGB, (h, w, 4) -> RGBA.
+    ``filter_type`` (0-4) is applied to every scanline — the encoder
+    exists to give the DECODER deterministic real bytes covering every
+    filter path at both depths."""
+    img = np.asarray(img)
+    if img.dtype == np.uint16:
+        depth = 16
+    elif img.dtype == np.uint8:
+        depth = 8
+    else:
+        raise ValueError(f"unsupported dtype {img.dtype} (uint8/uint16)")
     if img.ndim == 2:
         color, ch = 0, 1
         img = img[:, :, None]
@@ -70,13 +79,20 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     if not 0 <= filter_type <= 4:
         raise ValueError(f"bad filter type {filter_type}")
     h, w = img.shape[:2]
-    raw = img.reshape(h, w * ch)
-    prev = np.zeros(w * ch, dtype=np.uint8)
+    # PNG filters operate on raw scanline BYTES with a bytes-per-pixel
+    # left offset — 16-bit samples go big-endian first, then filter
+    if depth == 16:
+        raw = img.astype(">u2").reshape(h, -1).view(np.uint8).reshape(h, -1)
+    else:
+        raw = img.reshape(h, w * ch)
+    bpp = ch * (depth // 8)
+    stride = raw.shape[1]
+    prev = np.zeros(stride, dtype=np.uint8)
     lines = []
     for y in range(h):
         row = raw[y]
-        left = np.concatenate([np.zeros(ch, np.uint8), row[:-ch]])
-        upleft = np.concatenate([np.zeros(ch, np.uint8), prev[:-ch]])
+        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
         if filter_type == 0:
             filt = row
         elif filter_type == 1:
@@ -89,7 +105,7 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
             filt = row - _paeth_predict(left, prev, upleft)
         lines.append(bytes([filter_type]) + filt.tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -99,8 +115,9 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 def decode_png(buf: bytes) -> np.ndarray:
-    """Decode baseline PNG bytes -> uint8 array: (h, w) for gray,
-    (h, w, c) otherwise (palette images expand to RGB)."""
+    """Decode baseline PNG bytes -> uint8 (depth 8) or uint16 (depth 16)
+    array: (h, w) for gray, (h, w, c) otherwise (palette images expand
+    to RGB)."""
     if len(buf) < 8 or buf[:8] != _SIG:
         raise ValueError("not a PNG: bad signature")
     pos = 8
@@ -132,18 +149,21 @@ def decode_png(buf: bytes) -> np.ndarray:
     w, h, depth, color, comp, fmethod, interlace = ihdr
     if interlace != 0:
         raise NotImplementedError("interlaced (Adam7) PNG not supported")
-    if depth != 8:
-        raise NotImplementedError(f"bit depth {depth} not supported (8 only)")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"bit depth {depth} not supported (8/16)")
     if color not in _CHANNELS:
         raise ValueError(f"bad color type {color}")
+    if color == 3 and depth != 8:
+        raise ValueError("palette images must be bit depth <= 8")
     if comp != 0 or fmethod != 0:
         raise ValueError("bad compression/filter method")
     ch = _CHANNELS[color]
+    bpp = ch * (depth // 8)  # filters work on raw scanline BYTES
     try:
         data = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt IDAT stream: {e}") from None
-    stride = w * ch
+    stride = w * bpp
     if len(data) != h * (1 + stride):
         raise ValueError(
             f"IDAT size {len(data)} != expected {h * (1 + stride)}"
@@ -161,21 +181,21 @@ def decode_png(buf: bytes) -> np.ndarray:
         elif ft == 1:
             # Sub: per-lane prefix sum mod 256 removes the left dependency
             rec = np.cumsum(
-                row.reshape(-1, ch).astype(np.int64), axis=0
+                row.reshape(-1, bpp).astype(np.int64), axis=0
             ).astype(np.uint8).reshape(-1)
         elif ft == 2:
             rec = row + prev
         elif ft == 3:
             rec = np.empty(stride, dtype=np.uint8)
-            rec[:ch] = row[:ch] + prev[:ch] // 2
-            for x in range(ch, stride):
-                rec[x] = row[x] + (int(rec[x - ch]) + int(prev[x])) // 2
+            rec[:bpp] = row[:bpp] + prev[:bpp] // 2
+            for x in range(bpp, stride):
+                rec[x] = row[x] + (int(rec[x - bpp]) + int(prev[x])) // 2
         elif ft == 4:
             rec = np.empty(stride, dtype=np.uint8)
             for x in range(stride):
-                a = int(rec[x - ch]) if x >= ch else 0
+                a = int(rec[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -184,7 +204,13 @@ def decode_png(buf: bytes) -> np.ndarray:
             raise ValueError(f"bad scanline filter {ft} on row {y}")
         out[y] = rec
         prev = rec
-    img = out.reshape(h, w, ch)
+    if depth == 16:
+        img = (
+            np.ascontiguousarray(out).view(">u2").astype(np.uint16)
+            .reshape(h, w, ch)
+        )
+    else:
+        img = out.reshape(h, w, ch)
     if color == 3:
         if plte is None:
             raise ValueError("palette image without PLTE chunk")
@@ -199,13 +225,17 @@ def decode_png(buf: bytes) -> np.ndarray:
 
 def luma_u8(img: np.ndarray) -> np.ndarray:
     """Deterministic integer luma for multi-channel images (Rec.601
-    weights, integer floor) — the canonical 2D view the feature/resize
-    kernels consume. Gray/gray+alpha use the gray channel directly."""
+    weights, integer floor) — the canonical 2D uint8 view the feature/
+    resize kernels consume. Gray/gray+alpha use the gray channel
+    directly; 16-bit samples take their high byte (the deterministic
+    8-bit view of a 16-bit raster)."""
     if img.ndim == 2:
-        return img
-    if img.shape[2] == 2:
-        return img[:, :, 0]
-    r = img[:, :, 0].astype(np.int64)
-    g = img[:, :, 1].astype(np.int64)
-    b = img[:, :, 2].astype(np.int64)
-    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+        out = img.astype(np.int64)
+    elif img.shape[2] == 2:
+        out = img[:, :, 0].astype(np.int64)
+    else:
+        r, g, b = (img[:, :, i].astype(np.int64) for i in range(3))
+        out = (r * 299 + g * 587 + b * 114) // 1000
+    if img.dtype == np.uint16:
+        out >>= 8
+    return out.astype(np.uint8)
