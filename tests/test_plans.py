@@ -200,6 +200,38 @@ def test_cosine_pairs_auto_routes_high_threshold_through_lsh(spark):
     assert want and got == want
 
 
+def test_clip_points_multi_single_pass_equals_per_polygon_union(spark):
+    """clip_points_multi: ONE Arrow pass over ONE scan must equal the
+    union of independent clip_points runs, and the plan must contain
+    exactly one python eval node (that's the point of the operator)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    pts = spark.createDataFrame(
+        [(i, float(77 + rng.rand() * 0.6), float(28 + rng.rand() * 0.6), float(i % 50))
+         for i in range(400)],
+        "point_id long, longitude double, latitude double, elevation double",
+    )
+    sq1 = [[77.1, 28.1], [77.3, 28.1], [77.3, 28.3], [77.1, 28.3], [77.1, 28.1]]
+    tri = [[77.2, 28.2], [77.55, 28.25], [77.3, 28.55], [77.2, 28.2]]
+    polys = {"sq": [sq1], "tri": [tri]}
+
+    multi = joins.clip_points_multi(pts, polys)
+    p = plan_str(multi)
+    # formatted explain prints each node twice (tree + detail section):
+    # exactly ONE python eval node => exactly two mentions
+    assert p.count("ArrowEvalPython") == 2
+    got = sorted(
+        (r["poly"], r["point_id"]) for r in multi.select("poly", "point_id").collect()
+    )
+    want = sorted(
+        (tag, r["point_id"])
+        for tag, rings in polys.items()
+        for r in joins.clip_points(pts, rings).select("point_id").collect()
+    )
+    assert want and got == want
+
+
 def test_catalog_null_partition_keys_rejected(spark, tmp_path):
     """NULL partition keys are unwritable (isin() never matches NULL):
     both discovery mode and an explicit None part must fail up front

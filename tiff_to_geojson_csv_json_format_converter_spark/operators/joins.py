@@ -88,6 +88,60 @@ def clip_points_union(points: DataFrame, polygons: list,
     return boxed.filter(contains(F.col(lon_col), F.col(lat_col)))
 
 
+def clip_points_multi(points: DataFrame, polygons: dict[str, list],
+                      lon_col: str = "longitude", lat_col: str = "latitude",
+                      tag_col: str = "poly") -> DataFrame:
+    """Clip ONE point scan against SEVERAL tagged polygons in a single
+    Arrow pass: returns the points columns + ``tag_col``, one row per
+    (point, containing polygon) — the same output as unioning
+    ``clip_points`` per polygon, at 1/len(polygons) the scan cost.
+
+    Shape: overall-bbox Catalyst prefilter (pushed to the scan), then
+    one pandas UDF evaluates every polygon's own bbox short-circuit +
+    exact even-odd PIP and emits the matching tags as an array;
+    ``explode`` drops non-members. Right for a HANDFUL of query
+    polygons (the reference's request shapes — each polygon's rings
+    ride the UDF closure); for 10^5-polygon layers use
+    ``cell_cover_join``, which meets on a cell key instead of
+    broadcasting geometry.
+
+    ``polygons`` maps tag -> ring list (shell + holes, every ring a
+    point list)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    items = []
+    for tag, rings in polygons.items():
+        arrs = [np.asarray(r, dtype=np.float64) for r in rings]
+        allv = np.vstack(arrs)
+        items.append((tag, arrs,
+                      (float(allv[:, 0].min()), float(allv[:, 1].min()),
+                       float(allv[:, 0].max()), float(allv[:, 1].max()))))
+    mnx = min(b[0] for _, _, b in items)
+    mny = min(b[1] for _, _, b in items)
+    mxx = max(b[2] for _, _, b in items)
+    mxy = max(b[3] for _, _, b in items)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def tags(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        x, y = lon.to_numpy(), lat.to_numpy()
+        out: list[list] = [[] for _ in range(len(x))]
+        for tag, rings, (bx0, by0, bx1, by1) in items:
+            m = (x >= bx0) & (x <= bx1) & (y >= by0) & (y <= by1)
+            if not m.any():
+                continue
+            inside = np.zeros(len(x), dtype=bool)
+            inside[m] = geometry.points_in_polygon(x[m], y[m], rings)
+            for i in np.flatnonzero(inside):
+                out[i].append(tag)
+        return pd.Series(out)
+
+    boxed = points.filter(
+        (F.col(lon_col) >= mnx) & (F.col(lon_col) <= mxx)
+        & (F.col(lat_col) >= mny) & (F.col(lat_col) <= mxy)
+    )
+    return boxed.withColumn(tag_col, F.explode(tags(F.col(lon_col), F.col(lat_col))))
+
+
 def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
                     lon_col: str = "longitude", lat_col: str = "latitude") -> DataFrame:
     """Point-in-polygon join for LARGE polygon sets: cell-cover equi-join

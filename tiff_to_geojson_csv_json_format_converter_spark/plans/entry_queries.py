@@ -309,18 +309,34 @@ def _zonal_suite_sql() -> str:
 @_register("zonal_stats_polys", _zonal_suite_sql())
 def q_zonal_stats_polys(spark, sf_dir):
     """D3/E1: per-image min/max/mean/std_pop/count (population std,
-    numpy ddof=0) under three PIP clip fixtures in one tagged union —
-    golden Delhi box, non-axis-aligned convex pentagon (exact
-    ray-casting semantics), and a concave polygon with a hole (even-odd
-    PIP)."""
-    outs = [
-        _zonal(spark, sf_dir, pid).select(F.lit(tag).alias("poly"), "*")
-        for tag, pid in _ZONAL_SUITE
-    ]
-    df = outs[0]
-    for o in outs[1:]:
-        df = df.unionAll(o)
-    return df
+    numpy ddof=0) under three PIP clip fixtures — golden Delhi box,
+    non-axis-aligned convex pentagon (exact ray-casting semantics), and
+    a concave polygon with a hole (even-odd PIP). All three clips run in
+    ONE Arrow pass over ONE point scan (joins.clip_points_multi) — the
+    shape that holds when the input is 100 TB and the fixtures are a
+    request's query layer; the oracle stays the 3-way UNION of
+    independent single-polygon clips, so the fused pass is verified
+    equal to the per-polygon semantics."""
+    pts = _pts(spark, sf_dir).filter("valid")
+    tagged = joins.clip_points_multi(
+        pts, {tag: _rings(pid) for tag, pid in _ZONAL_SUITE},
+        lon_col="lon", lat_col="lat",
+    )
+    zl = F.col("z").cast("long")
+    g = tagged.groupBy("poly", "image_id").agg(
+        F.min(zl).alias("min_z"),
+        F.max(zl).alias("max_z"),
+        F.count("*").alias("cnt"),
+        F.sum(zl).alias("sum_z"),
+        F.sum(zl * zl).alias("sum_z2"),
+    )
+    mean = F.col("sum_z").cast("double") / F.col("cnt").cast("double")
+    var = F.col("sum_z2").cast("double") / F.col("cnt").cast("double") - mean * mean
+    return g.select(
+        "poly", "image_id", "min_z", "max_z", "cnt",
+        F.floor(mean * 1e6).cast("long").alias("mean_e6"),
+        F.floor(F.sqrt(var) * 1e6).cast("long").alias("std_pop_e6"),
+    )
 
 
 def _poly_values_sql() -> str:
