@@ -154,9 +154,10 @@ def bench_ivf_distributed(spark, sf_dir: str) -> dict:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     k = 5
-    # timed run = the DEFAULT n_probe (8): the out-of-the-box path a user
-    # gets must be the one whose recall the bench reports (>= 0.8 by the
-    # recall/probe curve this default was chosen from)
+    # timed run = the library-DEFAULT n_probe (reported below straight
+    # from the function signature): the out-of-the-box path a user gets
+    # must be the one whose recall the bench reports (>= 0.8 with margin
+    # by the recall/probe curve the default was chosen from)
     t0 = time.perf_counter()
     ivf = similarity.ivf_topk(
         emb, k=k, n_centroids=16, train="distributed", kmeans_iters=2

@@ -28,6 +28,17 @@ from pyspark.sql.types import BooleanType
 from ..functions import cells, geometry
 
 
+def _rings_bbox(rings: list) -> tuple:
+    """(min_lon, min_lat, max_lon, max_lat) over ALL rings — a flattened
+    MultiPolygon ring list (normalize_geometry output) puts disjoint
+    shells after index 0, so a shells-only bbox would drop their points
+    (bug class fixed once in clip_points; every clip operator must use
+    this shared helper, not re-derive the box)."""
+    allv = np.vstack([np.asarray(r, dtype=np.float64) for r in rings])
+    return (float(allv[:, 0].min()), float(allv[:, 1].min()),
+            float(allv[:, 0].max()), float(allv[:, 1].max()))
+
+
 def pip_contains_udf(rings: list):
     """Vectorized point-in-polygon predicate UDF for a FIXED polygon
     (broadcast by closure — the reference's single-request clip shape,
@@ -47,11 +58,7 @@ def clip_points(points: DataFrame, rings: list, lon_col: str = "longitude", lat_
     pushed to the scan) then exact PIP refinement (Arrow UDF) — the
     engine form of ``rasterio.mask.mask(..., crop=True)`` center
     containment (test2.py:1272)."""
-    # bbox over ALL rings: a flattened MultiPolygon (normalize_geometry)
-    # puts disjoint shells after rings[0]; the prefilter must cover them
-    allv = np.vstack([np.asarray(r, dtype=np.float64) for r in rings])
-    min_lon, min_lat = float(allv[:, 0].min()), float(allv[:, 1].min())
-    max_lon, max_lat = float(allv[:, 0].max()), float(allv[:, 1].max())
+    min_lon, min_lat, max_lon, max_lat = _rings_bbox(rings)
     boxed = points.filter(
         (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon)
         & (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat)
@@ -67,13 +74,9 @@ def clip_points_union(points: DataFrame, polygons: list,
     (Catalyst, scan-pushed) then OR-of-even-odd PIP refinement in one
     Arrow pass. No merged geometry is materialized; overlapping regions
     are counted once."""
-    # bbox over ALL rings of every polygon: a flattened MultiPolygon ring
-    # list (normalize_geometry output) puts disjoint shells after index 0,
-    # so a shells-only prefilter would drop their points (same bug class
-    # fixed in clip_points)
-    allv = np.vstack([np.asarray(r, dtype=np.float64) for p in polygons for r in p])
-    min_lon, min_lat = float(allv[:, 0].min()), float(allv[:, 1].min())
-    max_lon, max_lat = float(allv[:, 0].max()), float(allv[:, 1].max())
+    min_lon, min_lat, max_lon, max_lat = _rings_bbox(
+        [r for p in polygons for r in p]
+    )
     boxed = points.filter(
         (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon)
         & (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat)
@@ -109,13 +112,10 @@ def clip_points_multi(points: DataFrame, polygons: dict[str, list],
     point list)."""
     from pyspark.sql.types import ArrayType, StringType
 
-    items = []
-    for tag, rings in polygons.items():
-        arrs = [np.asarray(r, dtype=np.float64) for r in rings]
-        allv = np.vstack(arrs)
-        items.append((tag, arrs,
-                      (float(allv[:, 0].min()), float(allv[:, 1].min()),
-                       float(allv[:, 0].max()), float(allv[:, 1].max()))))
+    items = [
+        (tag, [np.asarray(r, dtype=np.float64) for r in rings], _rings_bbox(rings))
+        for tag, rings in polygons.items()
+    ]
     mnx = min(b[0] for _, _, b in items)
     mny = min(b[1] for _, _, b in items)
     mxx = max(b[2] for _, _, b in items)

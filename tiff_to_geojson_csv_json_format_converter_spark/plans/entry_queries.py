@@ -243,12 +243,12 @@ def q_tile_assign(spark, sf_dir):
 # D: spatial joins
 # ---------------------------------------------------------------------------
 
-def _zonal(spark, sf_dir, polygon_id: str):
-    pts = _pts(spark, sf_dir).filter("valid")
-    rings = _rings(polygon_id)
-    clipped = joins.clip_points(pts, rings, lon_col="lon", lat_col="lat")
+def _zonal_agg(clipped: DataFrame, *group_cols: str) -> DataFrame:
+    """Shared zonal aggregation (min/max/cnt/mean_e6/std_pop_e6 over the
+    integer z column) — ONE copy of the expression trees the zonal
+    oracles mirror."""
     zl = F.col("z").cast("long")
-    g = clipped.groupBy("image_id").agg(
+    g = clipped.groupBy(*group_cols).agg(
         F.min(zl).alias("min_z"),
         F.max(zl).alias("max_z"),
         F.count("*").alias("cnt"),
@@ -258,7 +258,7 @@ def _zonal(spark, sf_dir, polygon_id: str):
     mean = F.col("sum_z").cast("double") / F.col("cnt").cast("double")
     var = F.col("sum_z2").cast("double") / F.col("cnt").cast("double") - mean * mean
     return g.select(
-        "image_id", "min_z", "max_z", "cnt",
+        *group_cols, "min_z", "max_z", "cnt",
         F.floor(mean * 1e6).cast("long").alias("mean_e6"),
         F.floor(F.sqrt(var) * 1e6).cast("long").alias("std_pop_e6"),
     )
@@ -322,21 +322,7 @@ def q_zonal_stats_polys(spark, sf_dir):
         pts, {tag: _rings(pid) for tag, pid in _ZONAL_SUITE},
         lon_col="lon", lat_col="lat",
     )
-    zl = F.col("z").cast("long")
-    g = tagged.groupBy("poly", "image_id").agg(
-        F.min(zl).alias("min_z"),
-        F.max(zl).alias("max_z"),
-        F.count("*").alias("cnt"),
-        F.sum(zl).alias("sum_z"),
-        F.sum(zl * zl).alias("sum_z2"),
-    )
-    mean = F.col("sum_z").cast("double") / F.col("cnt").cast("double")
-    var = F.col("sum_z2").cast("double") / F.col("cnt").cast("double") - mean * mean
-    return g.select(
-        "poly", "image_id", "min_z", "max_z", "cnt",
-        F.floor(mean * 1e6).cast("long").alias("mean_e6"),
-        F.floor(F.sqrt(var) * 1e6).cast("long").alias("std_pop_e6"),
-    )
+    return _zonal_agg(tagged, "poly", "image_id")
 
 
 def _poly_values_sql() -> str:
@@ -1677,8 +1663,8 @@ def q_ann_ivf_topk(spark, sf_dir):
       DataFrame jobs — the 10^9-vector path; nothing but
       (n_centroids x dim) partials transits the driver).
 
-    Production recall at n_probe << n_centroids (default 8 -> recall@5
-    >= 0.8) is measured in bench.py (ann_ivf_recall_at_5)."""
+    Production recall at n_probe << n_centroids (default 10 -> recall@5
+    = 0.88 at sf0.1) is measured in bench.py (ann_ivf_recall_at_5)."""
     emb = _load(spark, sf_dir, "embeddings")
     sample = similarity.ivf_topk(emb, k=5, n_centroids=16, n_probe=16)
     dist = similarity.ivf_topk(

@@ -62,9 +62,12 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     exists to give the DECODER deterministic real bytes covering every
     filter path at both depths."""
     img = np.asarray(img)
-    if img.dtype == np.uint16:
+    # accept either byte order: raster bytes naturally materialize as
+    # '>u2' (PNG/GeoTIFF are big-endian on disk), which != np.uint16 on
+    # little-endian hosts even though the VALUES are plain uint16
+    if img.dtype.kind == "u" and img.dtype.itemsize == 2:
         depth = 16
-    elif img.dtype == np.uint8:
+    elif img.dtype.kind == "u" and img.dtype.itemsize == 1:
         depth = 8
     else:
         raise ValueError(f"unsupported dtype {img.dtype} (uint8/uint16)")
