@@ -185,8 +185,8 @@ class TestMultimodal:
         assert len(feats) == 30
         ok = feats[feats["ok"]]
         notok = feats[~feats["ok"]]
-        assert len(ok) == 10  # images decode via the fake codec
-        assert len(notok) == 20  # audio/video stubs refuse, don't crash
+        assert len(ok) == 20  # images (png/fake) AND audio (wav) decode
+        assert len(notok) == 10  # the video stub refuses, doesn't crash
         assert all(len(f) == 8 for f in feats["feature"])
 
     def test_block_mean_resize_equals_bruteforce(self):

@@ -6,9 +6,13 @@ signatures) is real and tested. Codec status:
 
 - IMAGE decode is REAL: ``decode_media('png')`` runs the in-repo pure
   numpy+zlib baseline PNG decoder (sources/png.py — gray/RGB/RGBA/
-  palette, all five scanline filters, CRC-verified), plus the
-  deterministic ``fake/gray8`` plumbing format.
-- AUDIO/VIDEO codecs remain stubbed (this container has no ffmpeg):
+  palette, depths 8/16, all five scanline filters, CRC-verified), plus
+  the deterministic ``fake/gray8`` plumbing format.
+- AUDIO decode is REAL: ``decode_media('wav')`` parses RIFF/PCM16
+  (sources/wav.py) and presents the waveform to the generic kernels as
+  the deterministic (frames, channels) high-byte envelope — feature
+  pooling and block-mean resize become temporal pooling.
+- VIDEO codecs remain stubbed (this container has no ffmpeg):
   ``decode_media`` raises ``NotImplementedError`` for them, which the
   operators surface as ok=false poison-pill rows. Swapping in a real
   codec is a one-function change — the distributed plumbing does not
@@ -52,6 +56,11 @@ def decode_media(buf: bytes, media_type: str, fmt: str) -> np.ndarray:
         from ..sources import png as _png
 
         return _png.luma_u8(_png.decode_png(buf))
+    if fmt == "wav":
+        from ..sources import wav as _wav
+
+        samples, _sr = _wav.decode_wav(buf)
+        return _wav.envelope_u8(samples)
     if fmt == "fake/gray8":
         side = max(1, int(np.sqrt(len(buf))))
         return np.frombuffer(buf[: side * side], dtype=np.uint8).reshape(side, side)
@@ -160,8 +169,11 @@ def synth_media_rows(n: int = 64) -> list[tuple]:
     rows alternate between REAL PNG bytes (encoded by sources/png.py,
     rotating gray/RGB/RGBA content and all five scanline filters — the
     in-repo decoder round-trips them exactly) and the ``fake/gray8``
-    plumbing format; audio/video stay stub formats (poison-pill path)."""
+    plumbing format; audio rows are REAL RIFF/PCM16 WAV bytes
+    (sources/wav.py, alternating mono/stereo); video stays a stub
+    format (poison-pill path — no ffmpeg in this container)."""
     from ..sources import png as _png
+    from ..sources import wav as _wav
 
     rows = []
     for i in range(n):
@@ -174,8 +186,14 @@ def synth_media_rows(n: int = 64) -> list[tuple]:
             shape = (side, side) if nch == 1 else (side, side, nch)
             img = rng.integers(0, 255, shape, dtype=np.int64).astype(np.uint8)
             buf = _png.encode_png(img, filter_type=(i // 3) % 5)
+        elif mt == "audio":
+            fmt = "wav"
+            ach = 1 + (i // 3) % 2  # alternate mono / stereo
+            samples = rng.integers(-32768, 32767, (side * side, ach),
+                                   dtype=np.int64).astype(np.int16)
+            buf = _wav.encode_wav(samples, 16000)
         else:
-            fmt = "fake/gray8" if mt == "image" else ("wav" if mt == "audio" else "mp4")
+            fmt = "fake/gray8" if mt == "image" else "mp4"
             buf = rng.integers(0, 255, side * side, dtype=np.int64).astype(np.uint8).tobytes()
         rows.append((
             f"media_{i:05d}", mt, fmt,
