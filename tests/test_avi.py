@@ -1,0 +1,88 @@
+"""Uncompressed-AVI codec (sources/avi.py): lossless round-trip,
+sampled-frame parity with full decode, corrupt-byte detection, and the
+container-real frame sampling + first-frame decode in multimodal."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from tiff_to_geojson_csv_json_format_converter_spark.operators import multimodal
+from tiff_to_geojson_csv_json_format_converter_spark.sources import avi, png
+
+
+def _clip(n, h, w, seed=0, gray=False):
+    shape = (n, h, w) if gray else (n, h, w, 3)
+    return np.random.default_rng(seed).integers(0, 255, shape, dtype=np.int64).astype(np.uint8)
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (7, 5), (6, 10), (3, 3)])
+def test_roundtrip_exact_incl_padded_strides(h, w):
+    """BMP rows pad to 4-byte boundaries: widths where w*3 % 4 != 0
+    exercise the padding on both encode and decode."""
+    f = _clip(4, h, w, seed=h * w)
+    out = avi.decode_avi(avi.encode_avi(f, fps=10))
+    assert out.shape == f.shape and out.dtype == np.uint8
+    np.testing.assert_array_equal(out, f)
+
+
+def test_gray_input_stored_as_equal_channels():
+    f = _clip(2, 6, 6, seed=2, gray=True)
+    out = avi.decode_avi(avi.encode_avi(f))
+    np.testing.assert_array_equal(out, np.repeat(f[:, :, :, None], 3, axis=3))
+
+
+def test_sampled_frames_equal_full_decode_stride():
+    f = _clip(11, 5, 7, seed=3)
+    buf = avi.encode_avi(f)
+    full = avi.decode_avi(buf)
+    samp = avi.sample_avi_frames(buf, 3)
+    assert [i for i, _ in samp] == [0, 3, 6, 9]
+    for i, fr in samp:
+        np.testing.assert_array_equal(fr, full[i])
+
+
+def test_corrupt_bytes_raise_value_error():
+    f = _clip(3, 4, 4, seed=4)
+    good = avi.encode_avi(f)
+    with pytest.raises(ValueError, match="magic"):
+        avi.decode_avi(b"JUNK" + good[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        avi.decode_avi(good[: len(good) - 20])
+
+
+def test_compressed_stream_raises_not_implemented():
+    f = _clip(2, 4, 4, seed=5)
+    buf = bytearray(avi.encode_avi(f))
+    # flip biCompression in the strf BITMAPINFOHEADER to MJPG
+    strf_pos = buf.index(b"strf") + 8
+    buf[strf_pos + 16:strf_pos + 20] = struct.pack("<I", 0x47504A4D)
+    with pytest.raises(NotImplementedError, match="uncompressed"):
+        avi.decode_avi(bytes(buf))
+
+
+def test_decode_media_avi_first_frame_luma():
+    f = _clip(5, 8, 8, seed=6)
+    got = multimodal.decode_media(avi.encode_avi(f), "video", "avi")
+    np.testing.assert_array_equal(got, png.luma_u8(f[0]))
+
+
+def test_sample_frames_row_avi_parses_container():
+    f = _clip(30, 8, 8, seed=7)
+    buf = avi.encode_avi(f)
+    out = multimodal._sample_frames_row(buf, "avi", 30, 10)
+    assert [i for i, _ in out] == [0, 10, 20]
+    for i, fb in out:
+        np.testing.assert_array_equal(
+            np.frombuffer(fb, dtype=np.uint8).reshape(8, 8, 3), f[i]
+        )
+
+
+def test_synth_media_rows_video_mixes_real_avi_and_stub():
+    rows = multimodal.synth_media_rows(64)
+    fmts = {fmt for (_m, mt, fmt, *_r) in rows if mt == "video"}
+    assert fmts == {"avi", "mp4"}
+    for (_m, mt, fmt, buf, w, h, nf, _sr) in rows:
+        if fmt == "avi":
+            clip = avi.decode_avi(bytes(buf))
+            assert clip.shape == (nf, h, w, 3)

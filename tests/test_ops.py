@@ -185,8 +185,14 @@ class TestMultimodal:
         assert len(feats) == 30
         ok = feats[feats["ok"]]
         notok = feats[~feats["ok"]]
-        assert len(ok) == 20  # images (png/fake) AND audio (wav) decode
-        assert len(notok) == 10  # the video stub refuses, doesn't crash
+        # images (png/fake), audio (wav), and the real-AVI half of the
+        # video rows decode; the mp4-stub half refuses, doesn't crash
+        assert len(ok) == 25
+        assert len(notok) == 5
+        assert set(notok["media_id"]) == {
+            f"media_{i:05d}" for i in range(30)
+            if i % 3 == 2 and (i // 3) % 2 == 1
+        }
         assert all(len(f) == 8 for f in feats["feature"])
 
     def test_block_mean_resize_equals_bruteforce(self):

@@ -61,6 +61,11 @@ def decode_media(buf: bytes, media_type: str, fmt: str) -> np.ndarray:
 
         samples, _sr = _wav.decode_wav(buf)
         return _wav.envelope_u8(samples)
+    if fmt == "avi":
+        from ..sources import avi as _avi
+        from ..sources import png as _png
+
+        return _png.luma_u8(_avi.decode_avi(buf)[0])  # first frame
     if fmt == "fake/gray8":
         side = max(1, int(np.sqrt(len(buf))))
         return np.frombuffer(buf[: side * side], dtype=np.uint8).reshape(side, side)
@@ -145,19 +150,36 @@ def resize_media(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
     return media.mapInPandas(run, RESIZED_SCHEMA)
 
 
+def _sample_frames_row(buf: bytes, fmt: str, n_frames, every_n: int) -> list[tuple]:
+    """Per-row frame sampler — ONE implementation shared by the Spark
+    kernel and the driver-oracle replay. ``avi`` rows parse the REAL
+    container (sources/avi.py: the chunk walk indexes every frame but
+    decodes only the sampled ones — the shape that holds for long
+    videos); other formats fall back to metadata-stride byte slicing
+    (the plumbing contract for still-stubbed codecs)."""
+    if fmt == "avi":
+        from ..sources import avi as _avi
+
+        return [(idx, fr.tobytes()) for idx, fr in _avi.sample_avi_frames(buf, every_n)]
+    n = int(n_frames or 0)
+    frame_len = max(1, len(buf) // max(n, 1))
+    return [(idx, buf[idx * frame_len:(idx + 1) * frame_len])
+            for idx in range(0, n, every_n)]
+
+
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Frame sampling plumbing for video rows: emits (media_id, frame_idx,
+    """Frame sampling for video rows: emits (media_id, frame_idx,
     frame_bytes) with deterministic stride — one-to-many mapInPandas,
-    the same explode shape the raster extractor uses."""
+    the same explode shape the raster extractor uses. Real container
+    parse for ``avi`` rows, metadata-stride slicing otherwise (see
+    _sample_frames_row)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                n = int(r.n_frames or 0)
-                frame_len = max(1, len(r.bytes) // max(n, 1))
-                for idx in range(0, n, every_n):
-                    rows.append((r.media_id, idx, r.bytes[idx * frame_len:(idx + 1) * frame_len]))
+                for idx, fb in _sample_frames_row(r.bytes, r.fmt, r.n_frames, every_n):
+                    rows.append((r.media_id, idx, fb))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
 
     return media.filter(F.col("media_type") == "video").mapInPandas(run, FRAMES_SCHEMA)
@@ -170,8 +192,10 @@ def synth_media_rows(n: int = 64) -> list[tuple]:
     rotating gray/RGB/RGBA content and all five scanline filters — the
     in-repo decoder round-trips them exactly) and the ``fake/gray8``
     plumbing format; audio rows are REAL RIFF/PCM16 WAV bytes
-    (sources/wav.py, alternating mono/stereo); video stays a stub
-    format (poison-pill path — no ffmpeg in this container)."""
+    (sources/wav.py, alternating mono/stereo); video rows alternate
+    between REAL uncompressed AVI clips (sources/avi.py, 30-frame 8x8
+    RGB, container-parsed frame sampling) and the ``mp4`` stub format
+    (poison-pill path — compressed codecs need ffmpeg, absent here)."""
     from ..sources import png as _png
     from ..sources import wav as _wav
 
@@ -192,6 +216,14 @@ def synth_media_rows(n: int = 64) -> list[tuple]:
             samples = rng.integers(-32768, 32767, (side * side, ach),
                                    dtype=np.int64).astype(np.int16)
             buf = _wav.encode_wav(samples, 16000)
+        elif mt == "video" and (i // 3) % 2 == 0:
+            from ..sources import avi as _avi
+
+            fmt = "avi"
+            side = 8  # real 30-frame 8x8 RGB clip, container-parseable
+            clip = rng.integers(0, 255, (30, side, side, 3),
+                                dtype=np.int64).astype(np.uint8)
+            buf = _avi.encode_avi(clip, fps=30)
         else:
             fmt = "fake/gray8" if mt == "image" else "mp4"
             buf = rng.integers(0, 255, side * side, dtype=np.int64).astype(np.uint8).tobytes()

@@ -1853,18 +1853,18 @@ def q_media_resize(spark, sf_dir):
 
 
 def _media_frames_oracle_sql(n: int = _MEDIA_N, every_n: int = _MEDIA_FRAME_EVERY) -> str:
-    """VALUES oracle for media_frame_sample: replay of the stride frame
-    sampler over the synthetic video rows (byte-sum digest per frame)."""
+    """VALUES oracle for media_frame_sample: single-process replay of
+    the SAME per-row sampler the Spark kernel runs
+    (multimodal._sample_frames_row — real AVI container parse for avi
+    rows, metadata-stride slicing for stub formats), byte-sum digest
+    per sampled frame."""
     from ..operators import multimodal
 
     vals = []
-    for (mid, mt, _fmt, buf, _w, _h, n_frames, _sr) in multimodal.synth_media_rows(n):
+    for (mid, mt, fmt, buf, _w, _h, n_frames, _sr) in multimodal.synth_media_rows(n):
         if mt != "video":
             continue
-        nf = int(n_frames or 0)
-        frame_len = max(1, len(buf) // max(nf, 1))
-        for idx in range(0, nf, every_n):
-            fb = bytes(buf)[idx * frame_len:(idx + 1) * frame_len]
+        for idx, fb in multimodal._sample_frames_row(bytes(buf), fmt, n_frames, every_n):
             vals.append((f"'{mid}'", idx, len(fb), sum(fb)))
     return _values_sql(vals, "media_id, frame_idx, n_bytes, byte_sum")
 
