@@ -86,3 +86,47 @@ def test_synth_media_rows_video_mixes_real_avi_and_stub():
         if fmt == "avi":
             clip = avi.decode_avi(bytes(buf))
             assert clip.shape == (nf, h, w, 3)
+
+
+def test_topdown_negative_height_decodes_unflipped():
+    """Negative biHeight (top-down DIB) means rows are stored first-row-
+    first: the decoder must NOT flip them."""
+    f = _clip(2, 4, 4, seed=8)
+    buf = bytearray(avi.encode_avi(f))
+    # rewrite biHeight in strf to negative and re-pack each frame top-down
+    strf_pos = buf.index(b"strf") + 8
+    (h,) = struct.unpack("<i", buf[strf_pos + 8:strf_pos + 12])
+    buf[strf_pos + 8:strf_pos + 12] = struct.pack("<i", -h)
+    # frames were written bottom-up BGR; flip each payload's rows so the
+    # bytes are genuinely top-down
+    pos = 0
+    stride = 4 * 3
+    while True:
+        pos = buf.find(b"00db", pos)
+        if pos < 0:
+            break
+        payload = np.frombuffer(bytes(buf[pos + 8:pos + 8 + stride * 4]),
+                                dtype=np.uint8).reshape(4, stride)
+        buf[pos + 8:pos + 8 + stride * 4] = payload[::-1].tobytes()
+        pos += 8
+    out = avi.decode_avi(bytes(buf))
+    np.testing.assert_array_equal(out, f)
+
+
+def test_first_frame_equals_full_decode_frame0():
+    f = _clip(9, 6, 6, seed=9)
+    buf = avi.encode_avi(f)
+    np.testing.assert_array_equal(avi.first_frame(buf), f[0])
+
+
+def test_single_rgb_frame_3d_input_rejected_not_misencoded():
+    with pytest.raises(ValueError, match="ambiguous"):
+        avi.encode_avi(np.zeros((16, 16, 3), dtype=np.uint8))
+
+
+def test_sample_frames_row_poison_pill_sentinel():
+    """Corrupt avi bytes must yield the (-1, b'') sentinel, never raise
+    out of the sampler (task-kill in the Spark kernel)."""
+    good = avi.encode_avi(_clip(3, 4, 4, seed=10))
+    out = multimodal._sample_frames_row(good[:30], "avi", 3, 1)
+    assert out == [(-1, b"")]

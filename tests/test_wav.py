@@ -94,3 +94,12 @@ def test_synth_media_rows_audio_is_real_wav():
             assert srate == 16000 == sr and samples.shape[1] in (1, 2)
             n_audio += 1
     assert n_audio > 0
+
+
+def test_trailing_tagger_bytes_after_riff_payload_ignored():
+    """ID3 tags / padding appended AFTER the declared RIFF payload are
+    not chunks: the bounded walk must ignore them, not parse them."""
+    s = _pcm(32, 2, seed=9)
+    out, sr = wav.decode_wav(wav.encode_wav(s, 44100) + b"ID3\x04junkjunkjunk")
+    assert sr == 44100
+    np.testing.assert_array_equal(out, s)

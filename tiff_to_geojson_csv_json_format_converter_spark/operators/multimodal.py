@@ -12,11 +12,15 @@ signatures) is real and tested. Codec status:
   (sources/wav.py) and presents the waveform to the generic kernels as
   the deterministic (frames, channels) high-byte envelope — feature
   pooling and block-mean resize become temporal pooling.
-- VIDEO codecs remain stubbed (this container has no ffmpeg):
-  ``decode_media`` raises ``NotImplementedError`` for them, which the
-  operators surface as ok=false poison-pill rows. Swapping in a real
-  codec is a one-function change — the distributed plumbing does not
-  move.
+- VIDEO is container-REAL for uncompressed clips:
+  ``decode_media('avi')`` parses RIFF/AVI DIB (sources/avi.py) and
+  yields the first frame's luma in O(1) of clip length; the frame
+  sampler indexes the container and decodes only sampled frames.
+  COMPRESSED codecs (H.264/VP9/... — the ``mp4`` rows) remain stubbed
+  (this container has no ffmpeg): ``decode_media`` raises
+  ``NotImplementedError`` for them, which the operators surface as
+  ok=false poison-pill rows. Swapping in a real codec is a one-function
+  change — the distributed plumbing does not move.
 
 Raster imagery is separately supported end-to-end via sources.codecs
 (the engine's own numpy TIFF/raw/npy codecs); this module is the
@@ -44,14 +48,17 @@ FRAMES_SCHEMA = "media_id string, frame_idx int, frame_bytes binary"
 def decode_media(buf: bytes, media_type: str, fmt: str) -> np.ndarray:
     """Decode media bytes to a 2D uint8 array.
 
-    REAL codec: ``png`` — the in-repo pure numpy+zlib baseline PNG
-    decoder (sources/png.py; gray/RGB/RGBA/palette, all five scanline
-    filters, CRC-verified). Multi-channel images collapse to
-    deterministic integer luma so the feature/resize kernels see one
-    canonical 2D view. ``fake/gray8`` remains the deterministic
-    plumbing-test format. Audio/video codecs stay stubbed (no ffmpeg in
-    this container): they raise NotImplementedError, which the operators
-    surface as ok=false poison-pill rows."""
+    REAL codecs (all in-repo, pure numpy): ``png`` (sources/png.py —
+    gray/RGB/RGBA/palette, depths 8/16, CRC-verified), ``wav``
+    (sources/wav.py — RIFF/PCM16, presented as the (frames, channels)
+    high-byte envelope), ``avi`` (sources/avi.py — uncompressed DIB,
+    first frame only, O(1) in clip length). Multi-channel images
+    collapse to deterministic integer luma so the feature/resize
+    kernels see one canonical 2D uint8 view; ``fake/gray8`` remains the
+    deterministic plumbing-test format. COMPRESSED audio/video codecs
+    stay stubbed (no ffmpeg in this container): they raise
+    NotImplementedError, which the operators surface as ok=false
+    poison-pill rows."""
     if fmt == "png":
         from ..sources import png as _png
 
@@ -65,7 +72,8 @@ def decode_media(buf: bytes, media_type: str, fmt: str) -> np.ndarray:
         from ..sources import avi as _avi
         from ..sources import png as _png
 
-        return _png.luma_u8(_avi.decode_avi(buf)[0])  # first frame
+        # O(1) in clip length: only the first frame's bytes decode
+        return _png.luma_u8(_avi.first_frame(buf))
     if fmt == "fake/gray8":
         side = max(1, int(np.sqrt(len(buf))))
         return np.frombuffer(buf[: side * side], dtype=np.uint8).reshape(side, side)
@@ -156,11 +164,20 @@ def _sample_frames_row(buf: bytes, fmt: str, n_frames, every_n: int) -> list[tup
     container (sources/avi.py: the chunk walk indexes every frame but
     decodes only the sampled ones — the shape that holds for long
     videos); other formats fall back to metadata-stride byte slicing
-    (the plumbing contract for still-stubbed codecs)."""
+    (the plumbing contract for still-stubbed codecs).
+
+    Poison-pill contract (same as extract_features/resize_media: corrupt
+    media must not kill a 100 TB job): a row whose bytes fail the
+    container parse yields the single sentinel frame (-1, b"") — visible
+    in the output, never a task failure."""
     if fmt == "avi":
         from ..sources import avi as _avi
 
-        return [(idx, fr.tobytes()) for idx, fr in _avi.sample_avi_frames(buf, every_n)]
+        try:
+            return [(idx, fr.tobytes())
+                    for idx, fr in _avi.sample_avi_frames(buf, every_n)]
+        except Exception:
+            return [(-1, b"")]
     n = int(n_frames or 0)
     frame_len = max(1, len(buf) // max(n, 1))
     return [(idx, buf[idx * frame_len:(idx + 1) * frame_len])

@@ -24,14 +24,11 @@ import struct
 
 import numpy as np
 
+from . import riff
 
-def _chunk(tag: bytes, data: bytes) -> bytes:
-    pad = b"\x00" if len(data) & 1 else b""
-    return tag + struct.pack("<I", len(data)) + data + pad
-
-
-def _list(list_type: bytes, payload: bytes) -> bytes:
-    return _chunk(b"LIST", list_type + payload)
+_chunk = riff.chunk
+_list = riff.list_chunk
+_walk = riff.walk
 
 
 def _row_stride(w: int) -> int:
@@ -44,6 +41,14 @@ def encode_avi(frames: np.ndarray, fps: int = 30) -> bytes:
     '00db' DIB chunk: bottom-up rows, BGR order, 4-byte row padding."""
     f = np.asarray(frames, dtype=np.uint8)
     if f.ndim == 3:
+        if f.shape[-1] in (3, 4):
+            # almost certainly a single RGB(A) frame, NOT a gray clip of
+            # 3px-wide frames — silently encoding it as one would produce
+            # garbage dimensions; demand the explicit 4-D form
+            raise ValueError(
+                f"ambiguous 3-D input {frames.shape}: pass (n, h, w) gray "
+                f"clips, or (1, h, w, 3) for a single RGB frame"
+            )
         f = np.repeat(f[:, :, :, None], 3, axis=3)
     if f.ndim != 4 or f.shape[3] != 3:
         raise ValueError(f"unsupported frames shape {frames.shape}")
@@ -60,14 +65,21 @@ def encode_avi(frames: np.ndarray, fps: int = 30) -> bytes:
             raw = padded.tobytes()
         frame_bytes.append(raw)
     frame_size = stride * h
+    # avih flags stay 0: we write no idx1 chunk, so AVIF_HASINDEX would
+    # promise an index that does not exist
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
-        1_000_000 // max(fps, 1), frame_size * fps, 0, 0x10, n, 0, 1,
+        1_000_000 // max(fps, 1), frame_size * fps, 0, 0, n, 0, 1,
         frame_size, w, h, 0, 0, 0, 0,
     )
+    # spec AVISTREAMHEADER: fccType, fccHandler, dwFlags, wPriority,
+    # wLanguage, dwInitialFrames, dwScale, dwRate, dwStart, dwLength,
+    # dwSuggestedBufferSize, dwQuality, dwSampleSize (8 dwords after
+    # wLanguage), then rcFrame — 56 bytes total
     strh = (
-        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
-                                        0, n, frame_size, 0, 0, 0)
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                      frame_size, 0, 0)
         + struct.pack("<HHHH", 0, 0, w, h)
     )
     strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
@@ -81,34 +93,17 @@ def encode_avi(frames: np.ndarray, fps: int = 30) -> bytes:
     return _chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
-def _walk(buf: bytes, pos: int, end: int):
-    """Yield (tag, list_type_or_None, payload_start, payload_len)."""
-    while pos + 8 <= end:
-        tag = buf[pos:pos + 4]
-        (length,) = struct.unpack("<I", buf[pos + 4:pos + 8])
-        if pos + 8 + length > end:
-            raise ValueError(f"truncated {tag!r} chunk")
-        if tag == b"LIST":
-            yield tag, buf[pos + 8:pos + 12], pos + 12, length - 4
-        else:
-            yield tag, None, pos + 8, length
-        pos += 8 + length + (length & 1)
-
-
-def _parse_avi(buf: bytes) -> tuple[int, int, list[tuple[int, int]]]:
+def _parse_avi(buf: bytes) -> tuple[int, int, bool, list[tuple[int, int]]]:
     """Container walk WITHOUT decoding pixels: validates structure and
-    returns (w, h, [(frame_payload_pos, len), ...]) — the index the
-    frame SAMPLER needs, so striding a long video touches only the
-    sampled frames' bytes."""
-    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
-        raise ValueError("not an AVI: bad RIFF/AVI magic")
-    (riff_size,) = struct.unpack("<I", buf[4:8])
-    if riff_size + 8 > len(buf):
-        raise ValueError("truncated RIFF payload")
+    returns (w, h, topdown, [(frame_payload_pos, len), ...]) — the index
+    the frame SAMPLER needs, so striding a long video touches only the
+    sampled frames' bytes. ``topdown`` reflects the DIB height sign:
+    negative biHeight means rows are stored top-down (no flip)."""
+    end = riff.header(buf, b"AVI ", "AVI")
     w = h = None
     bitcount = compression = None
     frames: list[tuple[int, int]] = []
-    for tag, ltype, p, ln in _walk(buf, 12, 8 + riff_size):
+    for tag, ltype, p, ln in _walk(buf, 12, end):
         if tag == b"LIST" and ltype == b"hdrl":
             for t2, lt2, p2, ln2 in _walk(buf, p, p + ln):
                 if t2 == b"LIST" and lt2 == b"strl":
@@ -129,27 +124,31 @@ def _parse_avi(buf: bytes) -> tuple[int, int, list[tuple[int, int]]]:
             f"only uncompressed 24-bit DIB frames supported "
             f"(got biCompression={compression}, {bitcount}-bit)"
         )
+    topdown = int(h) < 0
     w, h = int(w), abs(int(h))
     stride = _row_stride(w)
     for i, (_p2, ln2) in enumerate(frames):
         if ln2 != stride * h:
             raise ValueError(f"frame {i}: size {ln2} != expected {stride * h}")
-    return w, h, frames
+    return w, h, topdown, frames
 
 
-def _decode_frame(buf: bytes, pos: int, ln: int, w: int, h: int) -> np.ndarray:
+def _decode_frame(buf: bytes, pos: int, ln: int, w: int, h: int,
+                  topdown: bool = False) -> np.ndarray:
     stride = _row_stride(w)
     rows = np.frombuffer(buf[pos:pos + ln], dtype=np.uint8).reshape(h, stride)
     bgr = rows[:, : w * 3].reshape(h, w, 3)
-    return bgr[::-1, :, ::-1]  # bottom-up -> top-down, BGR -> RGB
+    if not topdown:
+        bgr = bgr[::-1]  # positive biHeight = bottom-up rows -> flip
+    return bgr[:, :, ::-1]  # BGR -> RGB
 
 
 def decode_avi(buf: bytes) -> np.ndarray:
     """Decode uncompressed AVI bytes -> uint8 (n_frames, h, w, 3) RGB."""
-    w, h, frames = _parse_avi(buf)
+    w, h, topdown, frames = _parse_avi(buf)
     out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
     for i, (p2, ln2) in enumerate(frames):
-        out[i] = _decode_frame(buf, p2, ln2, w, h)
+        out[i] = _decode_frame(buf, p2, ln2, w, h, topdown)
     return out
 
 
@@ -157,8 +156,17 @@ def sample_avi_frames(buf: bytes, every_n: int) -> list[tuple[int, np.ndarray]]:
     """Stride-sample frames WITHOUT decoding the skipped ones: one
     container walk builds the frame index, then only every ``every_n``-th
     frame's bytes are touched. Returns [(frame_idx, (h, w, 3) RGB), ...]."""
-    w, h, frames = _parse_avi(buf)
+    w, h, topdown, frames = _parse_avi(buf)
     return [
-        (i, _decode_frame(buf, frames[i][0], frames[i][1], w, h))
+        (i, _decode_frame(buf, frames[i][0], frames[i][1], w, h, topdown))
         for i in range(0, len(frames), max(every_n, 1))
     ]
+
+
+def first_frame(buf: bytes) -> np.ndarray:
+    """Decode ONLY the first frame — O(1) in clip length (one container
+    walk for the index, one frame's bytes touched). The shape
+    ``decode_media`` needs: features/resize over a video row must not
+    pay O(n_frames) decode for a representative frame."""
+    w, h, topdown, frames = _parse_avi(buf)
+    return _decode_frame(buf, frames[0][0], frames[0][1], w, h, topdown)

@@ -22,6 +22,8 @@ import struct
 
 import numpy as np
 
+from . import riff
+
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """Canonical RIFF/WAVE writer: int16 samples, shape (n,) mono or
@@ -37,38 +39,25 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     data = s.astype("<i2").tobytes()  # row-major = interleaved frames
     byte_rate = sample_rate * ch * 2
     fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
-    body = (
-        b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
-    )
+    body = b"WAVE" + riff.chunk(b"fmt ", fmt) + riff.chunk(b"data", data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     """Decode RIFF/WAVE bytes -> (samples, sample_rate); samples are
-    int16 shaped (n_frames, n_channels)."""
-    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-        raise ValueError("not a WAV: bad RIFF/WAVE magic")
-    (riff_size,) = struct.unpack("<I", buf[4:8])
-    if riff_size + 8 > len(buf):
-        raise ValueError("truncated RIFF payload")
-    pos = 12
+    int16 shaped (n_frames, n_channels). The chunk walk is bounded by
+    the declared RIFF size, so trailing tagger bytes (ID3, padding)
+    after the payload are ignored, not parsed as chunks."""
+    end = riff.header(buf, b"WAVE", "WAV")
     fmt = None
     data = None
-    while pos + 8 <= len(buf):
-        tag = buf[pos:pos + 4]
-        (length,) = struct.unpack("<I", buf[pos + 4:pos + 8])
-        payload = buf[pos + 8:pos + 8 + length]
-        if len(payload) != length:
-            raise ValueError(f"truncated {tag!r} chunk")
+    for tag, _ltype, p, length in riff.walk(buf, 12, end):
         if tag == b"fmt ":
             if length < 16:
                 raise ValueError(f"bad fmt chunk length {length}")
-            fmt = struct.unpack("<HHIIHH", payload[:16])
+            fmt = struct.unpack("<HHIIHH", buf[p:p + 16])
         elif tag == b"data":
-            data = payload
-        pos += 8 + length + (length & 1)  # chunks are word-aligned
+            data = buf[p:p + length]
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, ch, sample_rate, _rate, _align, bits = fmt
