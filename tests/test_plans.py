@@ -301,3 +301,49 @@ def test_cell_cover_join_is_equi_join(spark):
     p = plan_str(df)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_clip_fallback_ladder_rungs(spark):
+    """D4 (test2.py:1264-1357): rung selection by geometry usability and
+    per-rung membership semantics — exact PIP, bbox window, D5 center
+    square."""
+    from tiff_to_geojson_csv_json_format_converter_spark.functions import geometry as gf
+
+    pts = spark.createDataFrame(
+        [(i, 77.0 + (i % 10) * 0.05, 28.0 + (i // 10) * 0.05, float(i))
+         for i in range(100)],
+        "point_id long, longitude double, latitude double, elevation double",
+    )
+    sq = [[77.1, 28.1], [77.3, 28.1], [77.3, 28.3], [77.1, 28.3], [77.1, 28.1]]
+    out, rung = joins.clip_fallback_ladder(pts, [sq])
+    assert rung == "clip"
+    want = {r["point_id"] for r in joins.clip_points(pts, [sq]).collect()}
+    assert {r["point_id"] for r in out.collect()} == want
+
+    # degenerate: two distinct vertices -> bbox-window rung, closed bounds
+    deg = [[77.1, 28.1], [77.3, 28.3], [77.1, 28.1]]
+    out, rung = joins.clip_fallback_ladder(pts, [deg])
+    assert rung == "window"
+    got = {r["point_id"] for r in out.collect()}
+    want = {
+        r["point_id"] for r in pts.filter(
+            "longitude >= 77.1 and longitude <= 77.3 "
+            "and latitude >= 28.1 and latitude <= 28.3").collect()
+    }
+    assert got == want and got
+
+    # non-finite geometry -> center-square rung over the data extent
+    # (frac=0.5 so the square actually contains grid points — the
+    # comparison must be non-vacuous)
+    bad = [[float("nan"), float("nan")]] * 4
+    out, rung = joins.clip_fallback_ladder(pts, [bad], frac=0.5)
+    assert rung == "center"
+    ring = gf.center_sample_ring((77.0, 28.0, 77.45, 28.45), 0.5)
+    want = {r["point_id"] for r in joins.clip_points(pts, [ring.tolist()]).collect()}
+    got = {r["point_id"] for r in out.collect()}
+    assert want and got == want
+
+    # classification is driver-side and pure
+    assert joins.classify_clip_geometry([]) == "center"
+    assert joins.classify_clip_geometry([[[1.0, 1.0], [1.0, 1.0]]]) == "center"
+    assert joins.classify_clip_geometry([[[1.0, 1.0], [2.0, 1.0]]]) == "window"

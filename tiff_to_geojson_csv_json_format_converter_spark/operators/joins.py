@@ -334,3 +334,66 @@ def knn_join(
         topk.withColumn("exact", F.col("dist2") <= F.lit(guard))
         .drop("_cell", "_qlon", "_qlat")
     )
+
+
+def classify_clip_geometry(rings: list) -> str:
+    """D4 trigger classification (test2.py:1264-1357), re-expressed as
+    DATA conditions: the reference's 4-rung try/except ladder fires on
+    rasterio exceptions, which deterministic numpy kernels don't throw —
+    what actually varies is the GEOMETRY's usability.
+
+    - 'clip':   shell has >= 3 distinct finite vertices and nonzero
+                bbox area -> exact PIP is well-defined (reference rung 1;
+                rung 2, mask without crop, has IDENTICAL membership for a
+                point table — crop only changes raster extent).
+    - 'window': degenerate shell (collinear/duplicate vertices are fine
+                for bbox purposes) whose bbox is finite with positive
+                extent on at least one axis -> bbox-window sample
+                (reference rung 3, the pixel-window read).
+    - 'center': nothing usable (empty, non-finite, or zero-extent bbox)
+                -> the D5 center-square sample (reference rung 4).
+    """
+    if not rings or len(rings[0]) == 0:
+        return "center"
+    shell = np.asarray(rings[0], dtype=np.float64)
+    if not np.isfinite(shell).all():
+        return "center"
+    closed = shell if not np.array_equal(shell[0], shell[-1]) else shell[:-1]
+    distinct = np.unique(closed, axis=0)
+    mnx, mny = shell[:, 0].min(), shell[:, 1].min()
+    mxx, mxy = shell[:, 0].max(), shell[:, 1].max()
+    if len(distinct) >= 3 and mxx > mnx and mxy > mny:
+        return "clip"
+    if mxx > mnx or mxy > mny:
+        return "window"
+    return "center"
+
+
+def clip_fallback_ladder(points: DataFrame, rings: list,
+                         lon_col: str = "longitude", lat_col: str = "latitude",
+                         frac: float = 0.1) -> tuple[DataFrame, str]:
+    """D4: the reference's clip fallback ladder as an engine operator —
+    returns (clipped points, rung applied). Rung selection is the
+    driver-side geometry classification above (no data scan); only the
+    'center' rung touches the data twice (one tiny 4-value extent
+    aggregate to place the D5 square, exactly like the reference reads
+    the raster's own bounds for its final fallback)."""
+    rung = classify_clip_geometry(rings)
+    if rung == "clip":
+        return clip_points(points, rings, lon_col=lon_col, lat_col=lat_col), rung
+    if rung == "window":
+        shell = np.asarray(rings[0], dtype=np.float64)
+        mnx, mny = float(shell[:, 0].min()), float(shell[:, 1].min())
+        mxx, mxy = float(shell[:, 0].max()), float(shell[:, 1].max())
+        boxed = points.filter(
+            (F.col(lon_col) >= mnx) & (F.col(lon_col) <= mxx)
+            & (F.col(lat_col) >= mny) & (F.col(lat_col) <= mxy)
+        )
+        return boxed, rung
+    b = points.agg(
+        F.min(lon_col), F.max(lon_col), F.min(lat_col), F.max(lat_col)
+    ).collect()[0]
+    if b[0] is None:
+        return points.limit(0), "center"
+    ring = geometry.center_sample_ring((b[0], b[2], b[1], b[3]), frac)
+    return clip_points(points, [ring.tolist()], lon_col=lon_col, lat_col=lat_col), "center"

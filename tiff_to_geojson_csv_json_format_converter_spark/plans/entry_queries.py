@@ -808,6 +808,12 @@ def q_geojson_format(spark, sf_dir):
 _FAR_RING = [[10.0, 10.0], [11.0, 10.0], [11.0, 11.0], [10.0, 11.0], [10.0, 10.0]]
 
 
+# D4 fixtures: a degenerate two-distinct-vertex "polygon" (window rung)
+# and its bbox literals, used identically in the Spark ladder call and
+# the oracle predicate
+_D4_DEGENERATE_RING = [[77.05, 28.05], [77.35, 28.35], [77.05, 28.05]]
+
+
 def _zonal_null_fallback_sql() -> str:
     corners = ", ".join(
         f"({i}, {sx}, {sy})" for i, (sx, sy) in enumerate(
@@ -834,18 +840,39 @@ def _zonal_null_fallback_sql() -> str:
            CAST(FLOOR((g.cx + c.sx * g.h) * 1000000.0e0 + 0.5e0) AS BIGINT),
            CAST(FLOOR((g.cy + c.sy * g.h) * 1000000.0e0 + 0.5e0) AS BIGINT)
     FROM geom g, (VALUES {corners}) AS c(i, sx, sy)
+    UNION ALL
+    SELECT 'd4_clip', 0, CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+    FROM v WHERE {_raycast_sql(_rings('poly_0000'), 'lon', 'lat')}
+    UNION ALL
+    SELECT 'd4_window', 0, CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+    FROM v WHERE lon >= 77.05e0 AND lon <= 77.35e0
+            AND lat >= 28.05e0 AND lat <= 28.35e0
+    UNION ALL
+    SELECT 'd4_center', 0, CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+    FROM v, geom g
+    WHERE v.lon >= g.cx - g.h AND v.lon < g.cx + g.h
+      AND v.lat >= g.cy - g.h AND v.lat < g.cy + g.h
     """
 
 
 @_register("zonal_null_fallback", _zonal_null_fallback_sql())
 def q_zonal_null_fallback(spark, sf_dir):
-    """D5, hard-oracle form (test2.py:1246-1256, 1463-1473): a query
-    polygon that misses the raster entirely -> the clip yields 0 rows
-    (the "Null" sentinel trigger) and the engine substitutes the
-    reference's center-sample square (side 0.1 * min(extent), exact
-    vertex order and arithmetic). The ring is emitted from
-    geometry.center_sample_ring; the oracle recomputes both halves from
-    the same data."""
+    """D5 + D4 in one driver row (registry capped at 50 queries).
+
+    D5 half (test2.py:1246-1256, 1463-1473): a query polygon that misses
+    the raster entirely -> the clip yields 0 rows (the "Null" sentinel
+    trigger) and the engine substitutes the reference's center-sample
+    square (side 0.1 * min(extent), exact vertex order and arithmetic),
+    emitted from geometry.center_sample_ring.
+
+    D4 half (test2.py:1264-1357): the clip FALLBACK LADDER
+    (joins.clip_fallback_ladder) exercised end-to-end, one row per rung —
+    a valid polygon takes the exact-PIP rung ('d4_clip'), a degenerate
+    two-vertex polygon falls to the bbox-window rung ('d4_window'), and
+    a non-finite polygon falls to the D5 center-square rung
+    ('d4_center'). The oracle replays each rung's membership predicate
+    from the same data (the center square reduces to the half-open
+    [c-h, c+h) box — verified equal to the ray-cast in tests)."""
     from ..functions import geometry as geometry_fns
 
     pts = _pts(spark, sf_dir).filter("valid")
@@ -866,6 +893,17 @@ def q_zonal_null_fallback(spark, sf_dir):
             ("ring", i, math.floor(x * 1e6 + 0.5), math.floor(y * 1e6 + 0.5))
             for i, (x, y) in enumerate(ring)
         ]
+    ladder_fixtures = [
+        ("d4_clip", _rings("poly_0000"), "clip"),
+        ("d4_window", [_D4_DEGENERATE_RING], "window"),
+        ("d4_center", [[[float("nan"), float("nan")]] * 4], "center"),
+    ]
+    for kind, rings, want_rung in ladder_fixtures:
+        clipped, rung = joins.clip_fallback_ladder(
+            pts, rings, lon_col="lon", lat_col="lat", frac=0.1
+        )
+        assert rung == want_rung, f"{kind}: ladder took {rung}"
+        rows.append((kind, 0, int(clipped.count()), 0))
     return spark.createDataFrame(rows, "kind string, idx int, x_e6 long, y_e6 long")
 
 
