@@ -347,3 +347,41 @@ def test_clip_fallback_ladder_rungs(spark):
     assert joins.classify_clip_geometry([]) == "center"
     assert joins.classify_clip_geometry([[[1.0, 1.0], [1.0, 1.0]]]) == "center"
     assert joins.classify_clip_geometry([[[1.0, 1.0], [2.0, 1.0]]]) == "window"
+
+
+def test_clip_fallback_ladder_classification_edge_cases(spark):
+    """Hardened D4 triggers: a NaN hole poisons PIP (must fall through,
+    not silently clip to empty), a collinear >= 3-vertex shell clips to
+    nothing (must take the window), and a multi-shell list's window bbox
+    spans EVERY ring's finite coordinates."""
+    valid = [[77.1, 28.1], [77.3, 28.1], [77.3, 28.3], [77.1, 28.3], [77.1, 28.1]]
+    nan_hole = [[float("nan"), float("nan")]] * 3
+    # NaN hole: shell alone is usable, but PIP over [shell, hole] would
+    # bbox-NaN to an empty result -> window rung over the finite coords
+    assert joins.classify_clip_geometry([valid, nan_hole]) == "window"
+    # collinear shell with 3 distinct vertices and 2-D bbox extent
+    assert joins.classify_clip_geometry(
+        [[[0.0, 0.0], [1.0, 1.0], [2.0, 2.0], [0.0, 0.0]]]) == "window"
+    # degenerate first shell + valid second shell: window bbox must span both
+    pts = spark.createDataFrame(
+        [(1, 77.05, 28.05, 1.0), (2, 77.5, 28.5, 2.0), (3, 78.5, 29.5, 3.0)],
+        "point_id long, longitude double, latitude double, elevation double",
+    )
+    deg = [[77.0, 28.0], [77.1, 28.1], [77.0, 28.0]]
+    second = [[77.4, 28.4], [77.6, 28.4], [77.6, 28.6], [77.4, 28.6], [77.4, 28.4]]
+    out, rung = joins.clip_fallback_ladder(pts, [deg, second])
+    assert rung == "window"
+    assert {r["point_id"] for r in out.collect()} == {1, 2}  # spans both rings
+
+    # precomputed extent skips the aggregate and yields identical output
+    bad = [[float("nan"), float("nan")]] * 4
+    pts2 = spark.createDataFrame(
+        [(i, 77.0 + i * 0.01, 28.0 + i * 0.01, 1.0) for i in range(40)],
+        "point_id long, longitude double, latitude double, elevation double",
+    )
+    out1, _ = joins.clip_fallback_ladder(pts2, [bad], frac=0.5)
+    out2, _ = joins.clip_fallback_ladder(
+        pts2, [bad], frac=0.5, extent=(77.0, 28.0, 77.39, 28.39))
+    got1 = {r["point_id"] for r in out1.collect()}
+    got2 = {r["point_id"] for r in out2.collect()}
+    assert got1 and got1 == got2

@@ -31,6 +31,10 @@ def test_url_ladder_geographic_axis_names():
     wms = urls["wms-1.3.0"]
     assert "request=GetMap" in wms and "styles=" in wms
     assert "width=1024&height=1024" in wms
+    # WMS 1.3.0 + EPSG:4326 = LAT-FIRST bbox (CRS-defined axis order; a
+    # deliberate spec-following deviation from the reference's
+    # unconditional lon-first, test2.py:920-929)
+    assert f"bbox={28.1 - 0.001},{77.1 - 0.001},{28.4 + 0.001},{77.4 + 0.001}" in wms
 
 
 def test_url_ladder_projected_axis_names():
@@ -45,6 +49,8 @@ def test_url_ladder_projected_axis_names():
     assert "subset=N(3099990.0,3101010.0)" in v201
     assert "Long(" not in v201 and "Lat(" not in v201
     assert "outputCRS=EPSG:32643" in v201
+    # projected CRS keeps E,N (x-first) order in the WMS rung
+    assert "bbox=699990.0,3099990.0,701010.0,3101010.0" in urls["wms-1.3.0"]
 
 
 def _tiff_bytes():

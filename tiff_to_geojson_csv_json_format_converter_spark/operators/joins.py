@@ -350,50 +350,77 @@ def classify_clip_geometry(rings: list) -> str:
                 for bbox purposes) whose bbox is finite with positive
                 extent on at least one axis -> bbox-window sample
                 (reference rung 3, the pixel-window read).
-    - 'center': nothing usable (empty, non-finite, or zero-extent bbox)
-                -> the D5 center-square sample (reference rung 4).
+    - 'center': nothing usable (empty, non-finite everywhere, or
+                zero-extent bbox) -> the D5 center-square sample
+                (reference rung 4).
+
+    Usability is judged over ALL rings (a NaN hole poisons the PIP
+    kernel's bbox prefilter just like a NaN shell — the reference's
+    mask() would throw on either, so both must fall through), the shell
+    must additionally enclose nonzero area (collinear >= 3-vertex shells
+    clip to nothing; the ladder's job is to fall to the window instead),
+    and the window bbox spans every ring's FINITE coordinates (the
+    _rings_bbox multi-shell invariant).
     """
-    if not rings or len(rings[0]) == 0:
-        return "center"
-    shell = np.asarray(rings[0], dtype=np.float64)
-    if not np.isfinite(shell).all():
-        return "center"
-    closed = shell if not np.array_equal(shell[0], shell[-1]) else shell[:-1]
-    distinct = np.unique(closed, axis=0)
-    mnx, mny = shell[:, 0].min(), shell[:, 1].min()
-    mxx, mxy = shell[:, 0].max(), shell[:, 1].max()
-    if len(distinct) >= 3 and mxx > mnx and mxy > mny:
-        return "clip"
-    if mxx > mnx or mxy > mny:
-        return "window"
-    return "center"
+    return _classify_and_bbox(rings)[0]
+
+
+def _classify_and_bbox(rings: list) -> tuple[str, tuple | None]:
+    """(rung, finite-coords bbox or None) — shared by the public
+    classifier and the ladder so both use identical geometry logic."""
+    nonempty = [np.asarray(r, dtype=np.float64).reshape(-1, 2)
+                for r in (rings or []) if len(r)]
+    if not nonempty:
+        return "center", None
+    allv = np.vstack(nonempty)
+    finite = allv[np.isfinite(allv).all(axis=1)]
+    bbox = None
+    if len(finite):
+        bbox = (float(finite[:, 0].min()), float(finite[:, 1].min()),
+                float(finite[:, 0].max()), float(finite[:, 1].max()))
+    shell = nonempty[0]
+    shell_ok = bool(np.isfinite(shell).all())
+    if shell_ok:
+        closed = shell if not np.array_equal(shell[0], shell[-1]) else shell[:-1]
+        shell_ok = (
+            len(np.unique(closed, axis=0)) >= 3
+            and abs(geometry.signed_area(shell)) > 0.0
+        )
+    if shell_ok and len(finite) == len(allv):
+        return "clip", bbox
+    if bbox is not None and (bbox[2] > bbox[0] or bbox[3] > bbox[1]):
+        return "window", bbox
+    return "center", bbox
 
 
 def clip_fallback_ladder(points: DataFrame, rings: list,
                          lon_col: str = "longitude", lat_col: str = "latitude",
-                         frac: float = 0.1) -> tuple[DataFrame, str]:
+                         frac: float = 0.1,
+                         extent: tuple | None = None) -> tuple[DataFrame, str]:
     """D4: the reference's clip fallback ladder as an engine operator —
     returns (clipped points, rung applied). Rung selection is the
     driver-side geometry classification above (no data scan); only the
-    'center' rung touches the data twice (one tiny 4-value extent
-    aggregate to place the D5 square, exactly like the reference reads
-    the raster's own bounds for its final fallback)."""
-    rung = classify_clip_geometry(rings)
+    'center' rung needs the data extent to place the D5 square, exactly
+    like the reference reads the raster's own bounds for its final
+    fallback — pass ``extent`` = (min_lon, min_lat, max_lon, max_lat)
+    when the caller already holds it, else one tiny 4-value aggregate
+    runs."""
+    rung, bbox = _classify_and_bbox(rings)
     if rung == "clip":
         return clip_points(points, rings, lon_col=lon_col, lat_col=lat_col), rung
     if rung == "window":
-        shell = np.asarray(rings[0], dtype=np.float64)
-        mnx, mny = float(shell[:, 0].min()), float(shell[:, 1].min())
-        mxx, mxy = float(shell[:, 0].max()), float(shell[:, 1].max())
+        mnx, mny, mxx, mxy = bbox
         boxed = points.filter(
             (F.col(lon_col) >= mnx) & (F.col(lon_col) <= mxx)
             & (F.col(lat_col) >= mny) & (F.col(lat_col) <= mxy)
         )
         return boxed, rung
-    b = points.agg(
-        F.min(lon_col), F.max(lon_col), F.min(lat_col), F.max(lat_col)
-    ).collect()[0]
-    if b[0] is None:
-        return points.limit(0), "center"
-    ring = geometry.center_sample_ring((b[0], b[2], b[1], b[3]), frac)
+    if extent is None:
+        b = points.agg(
+            F.min(lon_col), F.max(lon_col), F.min(lat_col), F.max(lat_col)
+        ).collect()[0]
+        if b[0] is None:
+            return points.limit(0), "center"
+        extent = (b[0], b[2], b[1], b[3])
+    ring = geometry.center_sample_ring(extent, frac)
     return clip_points(points, [ring.tolist()], lon_col=lon_col, lat_col=lat_col), "center"

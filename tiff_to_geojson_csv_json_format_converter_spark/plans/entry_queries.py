@@ -898,9 +898,10 @@ def q_zonal_null_fallback(spark, sf_dir):
         ("d4_window", [_D4_DEGENERATE_RING], "window"),
         ("d4_center", [[[float("nan"), float("nan")]] * 4], "center"),
     ]
+    extent = None if b[0] is None else (b[0], b[2], b[1], b[3])
     for kind, rings, want_rung in ladder_fixtures:
         clipped, rung = joins.clip_fallback_ladder(
-            pts, rings, lon_col="lon", lat_col="lat", frac=0.1
+            pts, rings, lon_col="lon", lat_col="lat", frac=0.1, extent=extent
         )
         assert rung == want_rung, f"{kind}: ladder took {rung}"
         rows.append((kind, 0, int(clipped.count()), 0))

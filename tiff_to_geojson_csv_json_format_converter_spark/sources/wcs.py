@@ -74,9 +74,19 @@ def getcoverage_urls(base_url: str, layer: str, bbox: tuple, *,
         f"crs={native_crs}&response_crs={native_crs}&format=GeoTIFF&"
         f"width={GRID_SIZE}&height={GRID_SIZE}"
     )
+    # WMS 1.3.0 bbox uses the CRS-DEFINED axis order: EPSG:4326 is
+    # lat-first, projected CRSs are E,N. The reference sends lon-first
+    # unconditionally (test2.py:920-929) — against a conformant server
+    # that yields a rotated/blank image the ladder would ACCEPT as valid
+    # coverage (silent wrong data, the one failure mode the ladder can't
+    # see), so this rung deliberately deviates and follows the spec.
+    if native_crs == "EPSG:4326":
+        wms_bbox = f"{y0},{x0},{y1},{x1}"
+    else:
+        wms_bbox = f"{x0},{y0},{x1},{y1}"
     wms = (
         f"{base_url}/wms?service=WMS&version=1.3.0&request=GetMap&"
-        f"layers={qualified}&bbox={x0},{y0},{x1},{y1}&"
+        f"layers={qualified}&bbox={wms_bbox}&"
         f"width={GRID_SIZE}&height={GRID_SIZE}&crs={native_crs}&"
         f"format=image/geotiff&styles="
     )
