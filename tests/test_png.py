@@ -144,7 +144,7 @@ def test_decode_media_png_real_bytes():
 def test_synth_media_rows_include_real_png():
     rows = multimodal.synth_media_rows(64)
     fmts = {fmt for (_m, mt, fmt, *_r) in rows if mt == "image"}
-    assert fmts == {"png", "fake/gray8"}
+    assert fmts == {"png", "jpeg", "fake/gray8"}
     # every png row decodes through the real path
     for (_m, mt, fmt, buf, w, h, *_r) in rows:
         if fmt == "png":

@@ -63,6 +63,11 @@ def decode_media(buf: bytes, media_type: str, fmt: str) -> np.ndarray:
         from ..sources import png as _png
 
         return _png.luma_u8(_png.decode_png(buf))
+    if fmt == "jpeg":
+        from ..sources import jpeg as _jpeg
+        from ..sources import png as _png
+
+        return _png.luma_u8(_jpeg.decode_jpeg(buf))
     if fmt == "wav":
         from ..sources import wav as _wav
 
@@ -205,10 +210,11 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 def synth_media_rows(n: int = 64) -> list[tuple]:
     """Deterministic media rows — shared by the Spark table below and
     the single-process oracle replays in plans/entry_queries.py. Image
-    rows alternate between REAL PNG bytes (encoded by sources/png.py,
-    rotating gray/RGB/RGBA content and all five scanline filters — the
-    in-repo decoder round-trips them exactly) and the ``fake/gray8``
-    plumbing format; audio rows are REAL RIFF/PCM16 WAV bytes
+    rows rotate through REAL PNG bytes (sources/png.py, gray/RGB/RGBA
+    content across all five scanline filters — round-tripped exactly),
+    REAL baseline-JPEG bytes (sources/jpeg.py, smooth deterministic
+    content), and the ``fake/gray8`` plumbing format; audio rows are
+    REAL RIFF/PCM16 WAV bytes
     (sources/wav.py, alternating mono/stereo); video rows alternate
     between REAL uncompressed AVI clips (sources/avi.py, 30-frame 8x8
     RGB, container-parsed frame sampling) and the ``mp4`` stub format
@@ -221,7 +227,16 @@ def synth_media_rows(n: int = 64) -> list[tuple]:
         rng = np.random.default_rng([7, i])
         side = 16 + (i % 3) * 8
         mt = ["image", "audio", "video"][i % 3]
-        if mt == "image" and (i // 3) % 2 == 0:
+        if mt == "image" and (i // 3) % 4 == 1:
+            from ..sources import jpeg as _jpeg
+
+            # REAL compressed bytes: smooth deterministic content (JPEG
+            # is built for it; pure noise is its worst case)
+            fmt = "jpeg"
+            yy, xx = np.mgrid[0:side, 0:side]
+            img = ((xx * (3 + i % 5) + yy * (2 + i % 3)) % 256).astype(np.uint8)
+            buf = _jpeg.encode_jpeg(img, quality=90)
+        elif mt == "image" and (i // 3) % 2 == 0:
             fmt = "png"
             nch = [1, 3, 4][(i // 6) % 3]
             shape = (side, side) if nch == 1 else (side, side, nch)
