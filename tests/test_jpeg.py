@@ -123,3 +123,52 @@ def test_synth_media_rows_include_real_jpeg():
             i = int(_m.split("_")[1])
             want = ((xx * (3 + i % 5) + yy * (2 + i % 3)) % 256).astype(np.uint8)
             assert psnr(want, out) >= 30.0
+
+
+def test_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2: any number of extra 0xFF bytes may pad a marker."""
+    img = _smooth(12, 12)
+    good = jpeg.encode_jpeg(img, 90)
+    padded = good[:2] + b"\xff\xff" + good[2:]
+    np.testing.assert_array_equal(jpeg.decode_jpeg(padded), jpeg.decode_jpeg(good))
+
+
+def test_non_1x1_sampling_and_cmyk_rejected_not_garbled():
+    """Equal-but-not-1 sampling factors interleave multiple blocks per
+    MCU — decoding them with the 1-block layout would silently garble
+    pixels, so they must be REJECTED; same for 2/4-component frames."""
+    img = _smooth(16, 16)
+    good = bytearray(jpeg.encode_jpeg(img, 90))
+    sof = good.index(b"\xff\xc0")
+    # component spec starts at sof+4(len+marker)+6: [id, sampling, tq]
+    good[sof + 10 + 1] = 0x22  # sampling 2x2
+    with pytest.raises(NotImplementedError, match="sampling"):
+        jpeg.decode_jpeg(bytes(good))
+
+
+def test_scan_component_mismatch_is_value_error():
+    img = _smooth(8, 8)
+    buf = bytearray(jpeg.encode_jpeg(img, 90))
+    sos = buf.index(b"\xff\xda")
+    buf[sos + 5] = 9  # scan component id 9: absent from the frame header
+    with pytest.raises(ValueError, match="not in frame header"):
+        jpeg.decode_jpeg(bytes(buf))
+
+
+def test_decode_is_linear_not_quadratic():
+    """The bit accumulators must stay bounded: a 256x256 noise image
+    (the entropy-heaviest case) decodes in well under a second — the
+    unbounded-int version took minutes at this size."""
+    import time
+
+    img = np.random.default_rng(3).integers(0, 255, (256, 256), dtype=np.int64).astype(np.uint8)
+    buf = jpeg.encode_jpeg(img, 90)
+    t0 = time.perf_counter()
+    out = jpeg.decode_jpeg(buf)
+    assert time.perf_counter() - t0 < 5.0  # generous for loaded hosts
+    assert out.shape == img.shape
+
+
+def test_oversize_dimensions_raise_value_error():
+    with pytest.raises(ValueError, match="16-bit"):
+        jpeg.encode_jpeg(np.zeros((70000, 4), dtype=np.uint8))

@@ -116,7 +116,7 @@ _AC_SYMBOLS = [0x00, 0xF0] + [
 def _enc_tables(dc_depth: int = 4, ac_depth: int = 8):
     """Flat canonical encoder tables: every DC symbol (0..11) at
     ``dc_depth`` bits, every AC symbol at ``ac_depth`` — valid prefix
-    codes whenever the leaf budget holds (12 <= 2^dc, 176 <= 2^ac).
+    codes whenever the leaf budget holds (12 <= 2^dc, 162 <= 2^ac).
     Parameterized so tests can emit streams with DIFFERENT declared
     code lengths, proving the decoder reads DHT rather than assuming
     the default layout."""
@@ -141,6 +141,10 @@ class _BitWriter:
         while self.nbits >= 8:
             self.nbits -= 8
             byte = (self.acc >> self.nbits) & 0xFF
+            # truncate consumed high bits: an unbounded python-int
+            # accumulator makes every subsequent shift O(total bits)
+            # and the whole pass quadratic in scan length
+            self.acc &= (1 << self.nbits) - 1
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)  # byte stuffing
@@ -180,6 +184,7 @@ class _BitReader:
             self._fill()
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1  # keep the accumulator bounded
         return v
 
     def huff(self, table: dict[tuple[int, int], int]) -> int:
@@ -257,6 +262,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     else:
         raise ValueError(f"unsupported image shape {img.shape}")
     h, w = img.shape[:2]
+    if h > 0xFFFF or w > 0xFFFF:
+        raise ValueError(f"dimensions {h}x{w} exceed the 16-bit SOF fields")
     ncomp = len(planes)
     ql, qc = _quality_tables(quality)
     qtabs = [ql] + ([qc] if ncomp == 3 else [])
@@ -323,6 +330,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # legal fill bytes: any number of extra 0xFF may pad a marker
+        # (T.81 B.1.1.2)
+        while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
         marker = buf[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -348,6 +359,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             while p < len(payload):
                 tc, th = payload[p] >> 4, payload[p] & 0x0F
                 bits = list(payload[p + 1:p + 17])
+                if len(bits) != 16:
+                    raise ValueError("short DHT payload")
                 n = sum(bits)
                 vals = list(payload[p + 17:p + 17 + n])
                 if len(vals) != n:
@@ -365,10 +378,19 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, sampling, tq = payload[6 + ci * 3:9 + ci * 3]
                 comps.append((cid, sampling >> 4, sampling & 0x0F, tq))
-            hs = {c[1] for c in comps}
-            vs = {c[2] for c in comps}
-            if len(hs) != 1 or len(vs) != 1:
-                raise NotImplementedError("subsampled chroma (non-4:4:4)")
+            if any(c[1] != 1 or c[2] != 1 for c in comps):
+                # equal-but-not-1 factors (e.g. 2x2 everywhere) are legal
+                # 4:4:4 too, but interleave MULTIPLE blocks per component
+                # per MCU (T.81 A.2.3) — decoding them with the 1-block
+                # layout would silently garble pixels, so reject
+                raise NotImplementedError(
+                    "only 1x1 sampling factors supported (no subsampling, "
+                    "no multi-block MCUs)"
+                )
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG not supported (grayscale or YCbCr)"
+                )
             sof = (hh, ww, nc)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -379,6 +401,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             raise NotImplementedError("restart intervals (DRI)")
         elif marker == 0xDA:
             ns = payload[0]
+            if sof is not None and ns != sof[2]:
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG not supported"
+                )
             scan_comps = []
             for ci in range(ns):
                 cid, tables = payload[1 + ci * 2:3 + ci * 2]
@@ -429,7 +455,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                     v = rd.bits(size)
                     zz[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
                     k += 1
-                qt = qtabs.get(comp_q.get(cid, 0))
+                if cid not in comp_q:
+                    raise ValueError(f"scan component id {cid} not in frame header")
+                qt = qtabs.get(comp_q[cid])
                 if qt is None:
                     raise ValueError("missing quantization table")
                 coefs = np.zeros(64, dtype=np.int64)
