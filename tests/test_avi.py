@@ -51,13 +51,17 @@ def test_corrupt_bytes_raise_value_error():
         avi.decode_avi(good[: len(good) - 20])
 
 
-def test_compressed_stream_raises_not_implemented():
+def test_unsupported_compression_raises_not_implemented():
     f = _clip(2, 4, 4, seed=5)
     buf = bytearray(avi.encode_avi(f))
-    # flip biCompression in the strf BITMAPINFOHEADER to MJPG
     strf_pos = buf.index(b"strf") + 8
+    # 'H264' fourcc: an inter-frame codec the engine cannot decode
+    buf[strf_pos + 16:strf_pos + 20] = struct.pack("<I", 0x34363248)
+    with pytest.raises(NotImplementedError, match="DIB or MJPG"):
+        avi.decode_avi(bytes(buf))
+    # MJPG header over raw DIB frame bytes = corrupt stream, DETECTED
     buf[strf_pos + 16:strf_pos + 20] = struct.pack("<I", 0x47504A4D)
-    with pytest.raises(NotImplementedError, match="uncompressed"):
+    with pytest.raises(ValueError):
         avi.decode_avi(bytes(buf))
 
 
@@ -130,3 +134,39 @@ def test_sample_frames_row_poison_pill_sentinel():
     good = avi.encode_avi(_clip(3, 4, 4, seed=10))
     out = multimodal._sample_frames_row(good[:30], "avi", 3, 1)
     assert out == [(-1, b"")]
+
+
+def test_mjpeg_roundtrip_psnr_and_sampling():
+    """MJPG codec: JPEG frames in the AVI container — PSNR-gated
+    round-trip on smooth content, index-only sampling, first_frame,
+    and decode_media all flow through the same paths as DIB."""
+    y, x = np.mgrid[0:16, 0:16]
+    frames = np.stack([
+        np.repeat((((x * 3 + y * 2 + t * 7) % 256).astype(np.uint8))[:, :, None], 3, axis=2)
+        for t in range(6)
+    ])
+    buf = avi.encode_avi(frames, codec="MJPG", quality=95)
+    out = avi.decode_avi(buf)
+    assert out.shape == frames.shape
+    mse = float(np.mean((out.astype(np.float64) - frames.astype(np.float64)) ** 2))
+    assert 10 * np.log10(255.0**2 / mse) >= 40.0
+    samp = avi.sample_avi_frames(buf, 3)
+    assert [i for i, _ in samp] == [0, 3]
+    np.testing.assert_array_equal(avi.first_frame(buf), out[0])
+    got = multimodal.decode_media(buf, "video", "avi")
+    assert got.shape == (16, 16)
+
+
+def test_synth_media_rows_video_rotates_dib_mjpg_stub():
+    rows = multimodal.synth_media_rows(64)
+    kinds = set()
+    for (_m, mt, fmt, buf, _w, _h, _nf, _sr) in rows:
+        if mt != "video":
+            continue
+        if fmt == "mp4":
+            kinds.add("stub")
+        else:
+            w_, h_, _td, codec, frames = avi._parse_avi(bytes(buf))
+            kinds.add(codec)
+            assert len(frames) == 30
+    assert kinds == {"dib", "mjpg", "stub"}

@@ -185,13 +185,14 @@ class TestMultimodal:
         assert len(feats) == 30
         ok = feats[feats["ok"]]
         notok = feats[~feats["ok"]]
-        # images (png/fake), audio (wav), and the real-AVI half of the
-        # video rows decode; the mp4-stub half refuses, doesn't crash
-        assert len(ok) == 25
-        assert len(notok) == 5
+        # images (png/jpeg/fake), audio (wav), and the DIB + MJPEG
+        # thirds of the video rows decode; only the mp4-stub third
+        # refuses (and doesn't crash)
+        assert len(ok) == 27
+        assert len(notok) == 3
         assert set(notok["media_id"]) == {
             f"media_{i:05d}" for i in range(30)
-            if i % 3 == 2 and (i // 3) % 2 == 1
+            if i % 3 == 2 and (i // 3) % 3 == 2
         }
         assert all(len(f) == 8 for f in feats["feature"])
 

@@ -4,23 +4,24 @@ metadata, with decode / feature-extract / resize / frame-sample operators.
 The Spark-side plumbing (schemas, Arrow batch shapes, partitioning, UDF
 signatures) is real and tested. Codec status:
 
-- IMAGE decode is REAL: ``decode_media('png')`` runs the in-repo pure
-  numpy+zlib baseline PNG decoder (sources/png.py — gray/RGB/RGBA/
-  palette, depths 8/16, all five scanline filters, CRC-verified), plus
-  the deterministic ``fake/gray8`` plumbing format.
+- IMAGE decode is REAL: ``png`` (sources/png.py — gray/RGB/RGBA/
+  palette, depths 8/16, all five scanline filters, CRC-verified) and
+  ``jpeg`` (sources/jpeg.py — baseline sequential, DHT-table-driven),
+  plus the deterministic ``fake/gray8`` plumbing format.
 - AUDIO decode is REAL: ``decode_media('wav')`` parses RIFF/PCM16
   (sources/wav.py) and presents the waveform to the generic kernels as
   the deterministic (frames, channels) high-byte envelope — feature
   pooling and block-mean resize become temporal pooling.
-- VIDEO is container-REAL for uncompressed clips:
-  ``decode_media('avi')`` parses RIFF/AVI DIB (sources/avi.py) and
-  yields the first frame's luma in O(1) of clip length; the frame
-  sampler indexes the container and decodes only sampled frames.
-  COMPRESSED codecs (H.264/VP9/... — the ``mp4`` rows) remain stubbed
-  (this container has no ffmpeg): ``decode_media`` raises
-  ``NotImplementedError`` for them, which the operators surface as
-  ok=false poison-pill rows. Swapping in a real codec is a one-function
-  change — the distributed plumbing does not move.
+- VIDEO decode is REAL for both uncompressed AND motion-JPEG clips:
+  ``decode_media('avi')`` parses RIFF/AVI (sources/avi.py, DIB or MJPG
+  frames — the latter decoded by the in-repo JPEG codec) and yields the
+  first frame's luma in O(1) of clip length; the frame sampler indexes
+  the container and decodes only sampled frames. Inter-frame codecs
+  (H.264/VP9/AAC/MP3 — the ``mp4`` rows) remain stubbed (no ffmpeg in
+  this container): ``decode_media`` raises ``NotImplementedError`` for
+  them, which the operators surface as ok=false poison-pill rows.
+  Swapping in a real codec is a one-function change — the distributed
+  plumbing does not move.
 
 Raster imagery is separately supported end-to-end via sources.codecs
 (the engine's own numpy TIFF/raw/npy codecs); this module is the
@@ -51,7 +52,8 @@ def decode_media(buf: bytes, media_type: str, fmt: str) -> np.ndarray:
     REAL codecs (all in-repo, pure numpy): ``png`` (sources/png.py —
     gray/RGB/RGBA/palette, depths 8/16, CRC-verified), ``wav``
     (sources/wav.py — RIFF/PCM16, presented as the (frames, channels)
-    high-byte envelope), ``avi`` (sources/avi.py — uncompressed DIB,
+    high-byte envelope), ``jpeg`` (sources/jpeg.py — baseline
+    sequential), ``avi`` (sources/avi.py — uncompressed DIB or MJPG,
     first frame only, O(1) in clip length). Multi-channel images
     collapse to deterministic integer luma so the feature/resize
     kernels see one canonical 2D uint8 view; ``fake/gray8`` remains the
@@ -215,10 +217,11 @@ def synth_media_rows(n: int = 64) -> list[tuple]:
     REAL baseline-JPEG bytes (sources/jpeg.py, smooth deterministic
     content), and the ``fake/gray8`` plumbing format; audio rows are
     REAL RIFF/PCM16 WAV bytes
-    (sources/wav.py, alternating mono/stereo); video rows alternate
-    between REAL uncompressed AVI clips (sources/avi.py, 30-frame 8x8
-    RGB, container-parsed frame sampling) and the ``mp4`` stub format
-    (poison-pill path — compressed codecs need ffmpeg, absent here)."""
+    (sources/wav.py, alternating mono/stereo); video rows rotate through
+    REAL uncompressed-AVI clips, REAL MJPEG-in-AVI clips (sources/avi.py
+    + sources/jpeg.py, container-parsed frame sampling), and the ``mp4``
+    stub format (poison-pill path — codecs like H.264 need ffmpeg,
+    absent here)."""
     from ..sources import png as _png
     from ..sources import wav as _wav
 
@@ -248,14 +251,24 @@ def synth_media_rows(n: int = 64) -> list[tuple]:
             samples = rng.integers(-32768, 32767, (side * side, ach),
                                    dtype=np.int64).astype(np.int16)
             buf = _wav.encode_wav(samples, 16000)
-        elif mt == "video" and (i // 3) % 2 == 0:
+        elif mt == "video" and (i // 3) % 3 != 2:
             from ..sources import avi as _avi
 
             fmt = "avi"
-            side = 8  # real 30-frame 8x8 RGB clip, container-parseable
-            clip = rng.integers(0, 255, (30, side, side, 3),
-                                dtype=np.int64).astype(np.uint8)
-            buf = _avi.encode_avi(clip, fps=30)
+            side = 8  # real 30-frame 8x8 clip, container-parseable
+            if (i // 3) % 3 == 0:
+                clip = rng.integers(0, 255, (30, side, side, 3),
+                                    dtype=np.int64).astype(np.uint8)
+                buf = _avi.encode_avi(clip, fps=30)
+            else:
+                # MJPEG: smooth deterministic frames (JPEG-friendly)
+                yy, xx = np.mgrid[0:side, 0:side]
+                clip = np.stack([
+                    np.repeat((((xx * 3 + yy * 2 + t * 7) % 256)
+                               .astype(np.uint8))[:, :, None], 3, axis=2)
+                    for t in range(30)
+                ])
+                buf = _avi.encode_avi(clip, fps=30, codec="MJPG", quality=90)
         else:
             fmt = "fake/gray8" if mt == "image" else "mp4"
             buf = rng.integers(0, 255, side * side, dtype=np.int64).astype(np.uint8).tobytes()

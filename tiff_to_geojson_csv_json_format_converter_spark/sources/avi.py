@@ -13,9 +13,12 @@ Layout written/read (the canonical minimal player-compatible shape):
     RIFF 'AVI ' { LIST 'hdrl' { avih, LIST 'strl' { strh, strf } },
                   LIST 'movi' { '00db' <frame bytes> ... } }
 
-Scope: 24-bit uncompressed frames (biCompression=0), one video stream;
-structurally broken bytes raise ValueError, compressed streams raise
-NotImplementedError — corrupt or unsupported media must be DETECTED.
+Scope: one video stream, two codecs — 24-bit uncompressed DIB frames
+(biCompression=0) and, since the in-repo JPEG codec landed, MJPEG
+(biCompression='MJPG': each frame chunk is a baseline JPEG, decoded by
+sources/jpeg.py — the classic motion-JPEG layout). Other compressions
+raise NotImplementedError; structurally broken bytes raise ValueError —
+corrupt or unsupported media must be DETECTED.
 """
 
 from __future__ import annotations
@@ -35,10 +38,16 @@ def _row_stride(w: int) -> int:
     return (w * 3 + 3) & ~3  # BMP rows pad to 4-byte boundaries
 
 
-def encode_avi(frames: np.ndarray, fps: int = 30) -> bytes:
-    """Write uncompressed AVI: ``frames`` is uint8 (n, h, w, 3) RGB (or
-    (n, h, w) gray, stored as equal BGR channels). Each frame becomes a
-    '00db' DIB chunk: bottom-up rows, BGR order, 4-byte row padding."""
+_MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian
+
+
+def encode_avi(frames: np.ndarray, fps: int = 30, codec: str = "DIB",
+               quality: int = 90) -> bytes:
+    """Write AVI: ``frames`` is uint8 (n, h, w, 3) RGB (or (n, h, w)
+    gray, stored as equal BGR channels). ``codec='DIB'`` stores raw
+    bottom-up BGR '00db' chunks (lossless); ``codec='MJPG'`` stores one
+    baseline JPEG per '00dc' chunk (motion-JPEG — lossy, PSNR-gated in
+    tests, typically 10-30x smaller)."""
     f = np.asarray(frames, dtype=np.uint8)
     if f.ndim == 3:
         if f.shape[-1] in (3, 4):
@@ -52,19 +61,33 @@ def encode_avi(frames: np.ndarray, fps: int = 30) -> bytes:
         f = np.repeat(f[:, :, :, None], 3, axis=3)
     if f.ndim != 4 or f.shape[3] != 3:
         raise ValueError(f"unsupported frames shape {frames.shape}")
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(f"unsupported codec {codec!r} (DIB/MJPG)")
     n, h, w, _ = f.shape
     stride = _row_stride(w)
     frame_bytes = []
-    for img in f:
-        bgr = img[::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
-        if stride == w * 3:
-            raw = bgr.tobytes()
-        else:
-            padded = np.zeros((h, stride), dtype=np.uint8)
-            padded[:, : w * 3] = bgr.reshape(h, w * 3)
-            raw = padded.tobytes()
-        frame_bytes.append(raw)
-    frame_size = stride * h
+    if codec == "MJPG":
+        from . import jpeg as _jpeg
+
+        frame_bytes = [_jpeg.encode_jpeg(img, quality) for img in f]
+        frame_size = max(len(b) for b in frame_bytes)
+        chunk_tag = b"00dc"
+        compression = _MJPG_FOURCC
+        handler = b"MJPG"
+    else:
+        for img in f:
+            bgr = img[::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
+            if stride == w * 3:
+                raw = bgr.tobytes()
+            else:
+                padded = np.zeros((h, stride), dtype=np.uint8)
+                padded[:, : w * 3] = bgr.reshape(h, w * 3)
+                raw = padded.tobytes()
+            frame_bytes.append(raw)
+        frame_size = stride * h
+        chunk_tag = b"00db"
+        compression = 0
+        handler = b"DIB "
     # avih flags stay 0: we write no idx1 chunk, so AVIF_HASINDEX would
     # promise an index that does not exist
     avih = struct.pack(
@@ -77,28 +100,29 @@ def encode_avi(frames: np.ndarray, fps: int = 30) -> bytes:
     # dwSuggestedBufferSize, dwQuality, dwSampleSize (8 dwords after
     # wLanguage), then rcFrame — 56 bytes total
     strh = (
-        b"vids" + b"DIB "
+        b"vids" + handler
         + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
                       frame_size, 0, 0)
         + struct.pack("<HHHH", 0, 0, w, h)
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
-                       0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, compression,
+                       frame_size, 0, 0, 0, 0)
     hdrl = _list(
         b"hdrl",
         _chunk(b"avih", avih)
         + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
-    movi = _list(b"movi", b"".join(_chunk(b"00db", fb) for fb in frame_bytes))
+    movi = _list(b"movi", b"".join(_chunk(chunk_tag, fb) for fb in frame_bytes))
     return _chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
-def _parse_avi(buf: bytes) -> tuple[int, int, bool, list[tuple[int, int]]]:
+def _parse_avi(buf: bytes) -> tuple[int, int, bool, str, list[tuple[int, int]]]:
     """Container walk WITHOUT decoding pixels: validates structure and
-    returns (w, h, topdown, [(frame_payload_pos, len), ...]) — the index
-    the frame SAMPLER needs, so striding a long video touches only the
-    sampled frames' bytes. ``topdown`` reflects the DIB height sign:
-    negative biHeight means rows are stored top-down (no flip)."""
+    returns (w, h, topdown, codec, [(frame_payload_pos, len), ...]) —
+    the index the frame SAMPLER needs, so striding a long video touches
+    only the sampled frames' bytes. ``topdown`` reflects the DIB height
+    sign (negative biHeight = rows stored top-down, no flip); ``codec``
+    is 'dib' or 'mjpg'."""
     end = riff.header(buf, b"AVI ", "AVI")
     w = h = None
     bitcount = compression = None
@@ -119,22 +143,38 @@ def _parse_avi(buf: bytes) -> tuple[int, int, bool, list[tuple[int, int]]]:
                     frames.append((p2, ln2))
     if w is None or not frames:
         raise ValueError("missing stream format or frames")
-    if compression != 0 or bitcount != 24:
+    if compression == 0 and bitcount == 24:
+        codec = "dib"
+    elif compression == _MJPG_FOURCC:
+        codec = "mjpg"
+    else:
         raise NotImplementedError(
-            f"only uncompressed 24-bit DIB frames supported "
+            f"only uncompressed 24-bit DIB or MJPG frames supported "
             f"(got biCompression={compression}, {bitcount}-bit)"
         )
     topdown = int(h) < 0
     w, h = int(w), abs(int(h))
-    stride = _row_stride(w)
-    for i, (_p2, ln2) in enumerate(frames):
-        if ln2 != stride * h:
-            raise ValueError(f"frame {i}: size {ln2} != expected {stride * h}")
-    return w, h, topdown, frames
+    if codec == "dib":
+        stride = _row_stride(w)
+        for i, (_p2, ln2) in enumerate(frames):
+            if ln2 != stride * h:
+                raise ValueError(
+                    f"frame {i}: size {ln2} != expected {stride * h}")
+    return w, h, topdown, codec, frames
 
 
 def _decode_frame(buf: bytes, pos: int, ln: int, w: int, h: int,
-                  topdown: bool = False) -> np.ndarray:
+                  topdown: bool = False, codec: str = "dib") -> np.ndarray:
+    if codec == "mjpg":
+        from . import jpeg as _jpeg
+
+        img = _jpeg.decode_jpeg(buf[pos:pos + ln])
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        if img.shape[:2] != (h, w):
+            raise ValueError(
+                f"MJPG frame is {img.shape[:2]}, header says {(h, w)}")
+        return img
     stride = _row_stride(w)
     rows = np.frombuffer(buf[pos:pos + ln], dtype=np.uint8).reshape(h, stride)
     bgr = rows[:, : w * 3].reshape(h, w, 3)
@@ -144,21 +184,23 @@ def _decode_frame(buf: bytes, pos: int, ln: int, w: int, h: int,
 
 
 def decode_avi(buf: bytes) -> np.ndarray:
-    """Decode uncompressed AVI bytes -> uint8 (n_frames, h, w, 3) RGB."""
-    w, h, topdown, frames = _parse_avi(buf)
+    """Decode AVI bytes (DIB or MJPG) -> uint8 (n_frames, h, w, 3) RGB."""
+    w, h, topdown, codec, frames = _parse_avi(buf)
     out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
     for i, (p2, ln2) in enumerate(frames):
-        out[i] = _decode_frame(buf, p2, ln2, w, h, topdown)
+        out[i] = _decode_frame(buf, p2, ln2, w, h, topdown, codec)
     return out
 
 
 def sample_avi_frames(buf: bytes, every_n: int) -> list[tuple[int, np.ndarray]]:
     """Stride-sample frames WITHOUT decoding the skipped ones: one
     container walk builds the frame index, then only every ``every_n``-th
-    frame's bytes are touched. Returns [(frame_idx, (h, w, 3) RGB), ...]."""
-    w, h, topdown, frames = _parse_avi(buf)
+    frame's bytes are touched (for MJPG that means skipped frames'
+    JPEGs are never entropy-decoded). Returns
+    [(frame_idx, (h, w, 3) RGB), ...]."""
+    w, h, topdown, codec, frames = _parse_avi(buf)
     return [
-        (i, _decode_frame(buf, frames[i][0], frames[i][1], w, h, topdown))
+        (i, _decode_frame(buf, frames[i][0], frames[i][1], w, h, topdown, codec))
         for i in range(0, len(frames), max(every_n, 1))
     ]
 
@@ -168,5 +210,5 @@ def first_frame(buf: bytes) -> np.ndarray:
     walk for the index, one frame's bytes touched). The shape
     ``decode_media`` needs: features/resize over a video row must not
     pay O(n_frames) decode for a representative frame."""
-    w, h, topdown, frames = _parse_avi(buf)
-    return _decode_frame(buf, frames[0][0], frames[0][1], w, h, topdown)
+    w, h, topdown, codec, frames = _parse_avi(buf)
+    return _decode_frame(buf, frames[0][0], frames[0][1], w, h, topdown, codec)
