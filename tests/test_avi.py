@@ -170,3 +170,29 @@ def test_synth_media_rows_video_rotates_dib_mjpg_stub():
             kinds.add(codec)
             assert len(frames) == 30
     assert kinds == {"dib", "mjpg", "stub"}
+
+
+def test_dhtless_mjpg_and_empty_clip_classified():
+    """AVI1-convention MJPG frames (no DHT) are a clear
+    NotImplementedError from the frame decode path, not a generic
+    corrupt error; empty clips fail encode with a meaningful
+    ValueError."""
+    from tiff_to_geojson_csv_json_format_converter_spark.sources import jpeg as _jpeg
+
+    y, x = np.mgrid[0:8, 0:8]
+    img = ((x + y) % 256).astype(np.uint8)
+    frame = bytearray(_jpeg.encode_jpeg(img, 90))
+    # strip every DHT segment -> the AVI1 fixed-table frame shape
+    while True:
+        i = bytes(frame).find(b"\xff\xc4")
+        if i < 0:
+            break
+        (ln,) = struct.unpack(">H", frame[i + 2:i + 4])
+        del frame[i:i + 2 + ln]
+    with pytest.raises(ValueError, match="missing Huffman table"):
+        _jpeg.decode_jpeg(bytes(frame))
+    with pytest.raises(NotImplementedError, match="AVI1"):
+        avi._decode_frame(bytes(frame), 0, len(frame), 8, 8, False, "mjpg")
+    for codec in ("MJPG", "DIB"):
+        with pytest.raises(ValueError, match="empty clip"):
+            avi.encode_avi(np.zeros((0, 8, 8, 3), dtype=np.uint8), codec=codec)

@@ -172,3 +172,11 @@ def test_decode_is_linear_not_quadratic():
 def test_oversize_dimensions_raise_value_error():
     with pytest.raises(ValueError, match="16-bit"):
         jpeg.encode_jpeg(np.zeros((70000, 4), dtype=np.uint8))
+
+
+def test_trailing_fill_byte_runs_raise_value_error():
+    """A stream ending in a 0xFF run must fail with the contractual
+    ValueError, not IndexError/struct.error (fill-skip bounds)."""
+    for bad in (b"\xff\xd8\xff\xff\xff\xff", b"\xff\xd8\xff\xff\xc4\x00"):
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(bad)

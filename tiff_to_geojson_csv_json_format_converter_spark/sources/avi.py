@@ -64,6 +64,8 @@ def encode_avi(frames: np.ndarray, fps: int = 30, codec: str = "DIB",
     if codec not in ("DIB", "MJPG"):
         raise ValueError(f"unsupported codec {codec!r} (DIB/MJPG)")
     n, h, w, _ = f.shape
+    if n == 0:
+        raise ValueError("empty clip: at least one frame required")
     stride = _row_stride(w)
     frame_bytes = []
     if codec == "MJPG":
@@ -168,7 +170,19 @@ def _decode_frame(buf: bytes, pos: int, ln: int, w: int, h: int,
     if codec == "mjpg":
         from . import jpeg as _jpeg
 
-        img = _jpeg.decode_jpeg(buf[pos:pos + ln])
+        try:
+            img = _jpeg.decode_jpeg(buf[pos:pos + ln])
+        except ValueError as e:
+            if "missing Huffman table" in str(e):
+                # the VfW/'AVI1' convention omits DHT from each frame and
+                # implies the Annex K tables; classify that clearly
+                # instead of a generic corrupt-stream error (supporting
+                # it means hardcoding the spec tables — documented gap)
+                raise NotImplementedError(
+                    "DHT-less MJPG frames (AVI1 fixed-table convention) "
+                    "not supported; frames must carry their Huffman tables"
+                ) from None
+            raise
         if img.ndim == 2:
             img = np.repeat(img[:, :, None], 3, axis=2)
         if img.shape[:2] != (h, w):

@@ -334,6 +334,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         # (T.81 B.1.1.2)
         while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
             pos += 1
+        if pos + 4 > len(buf):
+            # the skip can run past the loop guard: a stream ending in a
+            # 0xFF run must still fail with the contractual ValueError
+            raise ValueError("truncated stream after fill bytes")
         marker = buf[pos + 1]
         if marker == 0xD9:  # EOI
             break
