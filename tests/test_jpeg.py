@@ -180,3 +180,18 @@ def test_trailing_fill_byte_runs_raise_value_error():
     for bad in (b"\xff\xd8\xff\xff\xff\xff", b"\xff\xd8\xff\xff\xc4\x00"):
         with pytest.raises(ValueError):
             jpeg.decode_jpeg(bad)
+
+
+def test_corrupt_dht_dc_size_category_bounded():
+    """A corrupted DHT can declare arbitrary bytes as DC 'symbols'; a
+    size category past 15 would read a >2^63 magnitude and overflow the
+    int64 coefficient store (found by mutation fuzzing) — must be the
+    contractual ValueError instead."""
+    img = _smooth(16, 16)
+    buf = bytearray(jpeg.encode_jpeg(img, 90))
+    dht = buf.index(b"\xff\xc4")
+    # DC table values start after marker(2)+len(2)+class(1)+bits(16)
+    vals = dht + 21
+    buf[vals:vals + 12] = bytes([200] * 12)  # absurd size categories
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(buf))

@@ -262,6 +262,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     else:
         raise ValueError(f"unsupported image shape {img.shape}")
     h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        # the decoder (ours and the spec) rejects zero dimensions — an
+        # encoder must not emit bytes its own decoder refuses
+        raise ValueError("zero image dimension")
     if h > 0xFFFF or w > 0xFFFF:
         raise ValueError(f"dimensions {h}x{w} exceed the 16-bit SOF fields")
     ncomp = len(planes)
@@ -435,6 +439,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 if dct is None or act is None:
                     raise ValueError("scan references missing Huffman table")
                 size = rd.huff(dct)
+                if size > 15:
+                    # a corrupted DHT can declare arbitrary byte values
+                    # as "symbols"; a DC size category past 15 would read
+                    # a >2^63 magnitude and overflow the int64 store
+                    # (spec bound for 8-bit baseline is 11)
+                    raise ValueError(f"invalid DC size category {size}")
                 diff = 0
                 if size:
                     v = rd.bits(size)
