@@ -132,7 +132,12 @@ def _extract_image(
         if round_output:
             bl = np.round(bl, 6)
             bb = np.round(bb, 6)
-            bz = np.round(bz, 2)
+            # force-extract (valid_only=False) rows keep the float32
+            # NoData sentinel (~-3.4e38); round's internal *100 overflows
+            # float32 to -inf BY DESIGN (the value is a sentinel, not a
+            # measurement) — suppress the noisy-but-expected warning
+            with np.errstate(over="ignore"):
+                bz = np.round(bz, 2)
         yield band, bi, bl, bb, bz.astype(np.float64)
 
 
