@@ -136,6 +136,28 @@ def test_sample_frames_row_poison_pill_sentinel():
     assert out == [(-1, b"")]
 
 
+def test_sample_frames_row_stub_path_defensive():
+    """The non-AVI fallback honors the same poison-pill contract as the
+    AVI branch: every_n=0 must not raise (range step 0) and a NaN
+    n_frames (NaN is truthy, int(nan) raises) yields the sentinel."""
+    buf = b"x" * 40
+    # every_n=0 clamps to 1: 4 frames of 10 bytes each
+    out = multimodal._sample_frames_row(buf, "mp4", 4, 0)
+    assert [i for i, _ in out] == [0, 1, 2, 3]
+    assert multimodal._sample_frames_row(buf, "mp4", float("nan"), 2) == [(-1, b"")]
+    assert multimodal._sample_frames_row(buf, "mp4", None, 2) == [(-1, b"")]
+
+
+def test_list_chunk_with_undersized_length_rejected():
+    """A LIST chunk declaring length < 4 cannot hold its list type; the
+    walk must fail cleanly instead of slicing past the payload."""
+    from tiff_to_geojson_csv_json_format_converter_spark.sources import riff
+
+    buf = b"LIST" + struct.pack("<I", 2) + b"zz"
+    with pytest.raises(ValueError, match="LIST chunk"):
+        list(riff.walk(buf, 0, len(buf)))
+
+
 def test_mjpeg_roundtrip_psnr_and_sampling():
     """MJPG codec: JPEG frames in the AVI container — PSNR-gated
     round-trip on smooth content, index-only sampling, first_frame,

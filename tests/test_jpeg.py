@@ -155,6 +155,25 @@ def test_scan_component_mismatch_is_value_error():
         jpeg.decode_jpeg(bytes(buf))
 
 
+def test_permuted_scan_order_is_detected():
+    """A legal baseline JPEG may list SOS components in a different
+    order than SOF; the decoder assumes positional (Y,Cb,Cr) order, so
+    it must REFUSE rather than silently permute channels."""
+    h, w = 16, 16
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([(x + y) % 256, (2 * x) % 256, (3 * y) % 256],
+                   axis=2).astype(np.uint8)
+    buf = bytearray(jpeg.encode_jpeg(img, 90))
+    sos = buf.index(b"\xff\xda")
+    # per-component entries are (cid, tables) pairs starting at sos+5
+    c0 = bytes(buf[sos + 5:sos + 7])
+    c1 = bytes(buf[sos + 7:sos + 9])
+    buf[sos + 5:sos + 7] = c1
+    buf[sos + 7:sos + 9] = c0
+    with pytest.raises(NotImplementedError, match="SOS component order"):
+        jpeg.decode_jpeg(bytes(buf))
+
+
 def test_decode_is_linear_not_quadratic():
     """The bit accumulators must stay bounded: a 256x256 noise image
     (the entropy-heaviest case) decodes in well under a second — the

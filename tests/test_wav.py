@@ -41,7 +41,7 @@ def test_extra_chunks_are_skipped_word_aligned():
     good = wav.encode_wav(s, 8000)
     # splice an odd-length junk chunk between fmt and data
     fmt_end = 12 + 8 + 16
-    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
     spliced = good[:fmt_end] + junk + good[fmt_end:]
     spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
     out, sr = wav.decode_wav(spliced)

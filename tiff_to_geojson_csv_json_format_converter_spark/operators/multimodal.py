@@ -185,10 +185,13 @@ def _sample_frames_row(buf: bytes, fmt: str, n_frames, every_n: int) -> list[tup
                     for idx, fr in _avi.sample_avi_frames(buf, every_n)]
         except Exception:
             return [(-1, b"")]
-    n = int(n_frames or 0)
+    try:
+        n = int(n_frames)  # raises on None and NaN (NaN is truthy)
+    except (TypeError, ValueError):
+        return [(-1, b"")]
     frame_len = max(1, len(buf) // max(n, 1))
     return [(idx, buf[idx * frame_len:(idx + 1) * frame_len])
-            for idx in range(0, n, every_n)]
+            for idx in range(0, n, max(every_n, 1))]
 
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:

@@ -145,6 +145,15 @@ def cosine_pairs(df: DataFrame, threshold_e6: int = 950_000, id_col: str = "vec_
     if mode not in ("auto", "broadcast", "blocked", "lsh"):
         raise ValueError(f"unknown mode {mode!r}")
     if mode == "auto" and threshold_e6 >= lsh_route_threshold_e6:
+        import warnings
+
+        warnings.warn(
+            "cosine_pairs(mode='auto') routed to LSH (threshold_e6="
+            f"{threshold_e6} >= {lsh_route_threshold_e6}): recall is "
+            "probabilistic (>=0.998 at 0.95 by the banding math), not "
+            "exhaustive. Pass mode='broadcast'/'blocked' for exact pairs.",
+            stacklevel=2,
+        )
         mode = "lsh"
     if mode == "lsh":
         return cosine_pairs_lsh(
@@ -610,10 +619,11 @@ def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 10
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
             sims = Xn @ CC.T
             order = np.argsort(-sims, axis=1)
-            rows = []
-            for i, vid in enumerate(pdf[id_col]):
-                rows.append((int(vid), int(order[i, 0]), [int(c) for c in order[i, :n_probe]]))
-            yield pd.DataFrame(rows, columns=["id", "list_id", "probe_lists"])
+            yield pd.DataFrame({
+                "id": pdf[id_col].to_numpy().astype(np.int64),
+                "list_id": order[:, 0].astype(np.int32),
+                "probe_lists": list(order[:, :n_probe].astype(np.int32)),
+            })
 
     assigned = df.select(id_col, vec_col).mapInPandas(
         assign_centroid, "id long, list_id int, probe_lists array<int>"

@@ -903,7 +903,8 @@ def q_zonal_null_fallback(spark, sf_dir):
         clipped, rung = joins.clip_fallback_ladder(
             pts, rings, lon_col="lon", lat_col="lat", frac=0.1, extent=extent
         )
-        assert rung == want_rung, f"{kind}: ladder took {rung}"
+        if rung != want_rung:  # not assert: must survive python -O
+            raise RuntimeError(f"{kind}: ladder took {rung}, want {want_rung}")
         rows.append((kind, 0, int(clipped.count()), 0))
     return spark.createDataFrame(rows, "kind string, idx int, x_e6 long, y_e6 long")
 

@@ -417,6 +417,18 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for ci in range(ns):
                 cid, tables = payload[1 + ci * 2:3 + ci * 2]
                 scan_comps.append((cid, tables >> 4, tables & 0x0F))
+            if sof is not None:
+                sof_ids = [c[0] for c in comps]
+                scan_ids = [sc[0] for sc in scan_comps]
+                if scan_ids != sof_ids and set(scan_ids) == set(sof_ids):
+                    # the decoder indexes planes positionally and
+                    # color-converts assuming frame-header (Y,Cb,Cr)
+                    # order; a permuted SOS list would silently swap
+                    # channels (ids absent from SOF stay a ValueError
+                    # in the comp_q lookup below)
+                    raise NotImplementedError(
+                        "SOS component order differs from SOF order"
+                    )
             scan_start = pos + 2 + seglen
             break
         pos += 2 + seglen

@@ -42,6 +42,11 @@ def walk(buf: bytes, pos: int, end: int):
         if pos + 8 + length > end:
             raise ValueError(f"truncated {tag!r} chunk")
         if tag == b"LIST":
+            if length < 4:
+                # a LIST payload must at least hold its 4-byte list type;
+                # anything shorter would make the inner length negative and
+                # slice the type from bytes past the declared payload
+                raise ValueError(f"LIST chunk with invalid length {length}")
             yield tag, buf[pos + 8:pos + 12], pos + 12, length - 4
         else:
             yield tag, None, pos + 8, length
