@@ -1950,6 +1950,139 @@ _MR_CATALOG_SQL = """
     FROM documents
 """
 
+# ---------------------------------------------------------------------------
+# A5: WCS/WMS fetch-ladder fixtures (sources/wcs.py) — every decision the
+# ladder makes offline (per-rung URL construction, response
+# classification, full-ladder fall-through, REST path resolution) run
+# THROUGH the Spark plan and checked against HAND-PINNED literals in the
+# oracle's VALUES below (test2.py:286-992, get_raster_stats_clean.py:
+# 83-134). Fixture numbers are chosen so every float operation is
+# exactly representable (77.0-0.5 = 76.5, 700000.0-0.5 = 699999.5),
+# making the URL strings engine-independent constants. The oracle is
+# NOT a code replay — a behavioral regression in wcs.py goes red here.
+# ---------------------------------------------------------------------------
+
+_WCS_CASES = [
+    "u_geo", "u_utm",
+    "c_ok_201", "c_status_404", "c_xml_exception", "c_tiff_100", "c_tiff_wms",
+    "l_first_ok", "l_fallthrough_111", "l_wms_last", "l_all_fail",
+    "r_abs", "r_rel_hit", "r_rel_miss", "r_store_name",
+]
+
+_WCS_RUNGS = ["wcs-2.0.1", "wcs-1.1.1", "wcs-1.0.0", "wms-1.3.0"]
+
+
+def _wcs_case_rows(case: str) -> list[tuple]:
+    """One fixture case -> (kind, root_priority, root, path) rows.
+
+    Executor-side (pickled into the mapInPandas kernel of
+    q_multi_root_scan) so the driver row exercises the REAL distributed
+    code path of sources/wcs.py, with the HTTP transport replaced by the
+    same injected-callable seam production uses."""
+    from ..sources import wcs as _wcs
+
+    base = "http://gs/geoserver"
+    geo_bbox = (77.0, 28.0, 78.0, 29.0)
+    if case.startswith("u_"):
+        if case == "u_geo":
+            urls = _wcs.getcoverage_urls(base, "dem_delhi", geo_bbox,
+                                         native_crs="EPSG:4326", buffer=0.5)
+        else:
+            urls = _wcs.getcoverage_urls(
+                base, "slope_utm43",
+                (700000.0, 3100000.0, 705000.0, 3105000.0),
+                native_crs="EPSG:32643", buffer=0.5)
+        return [("url", i, f"{case}:{rung}", url)
+                for i, (rung, url) in enumerate(urls)]
+    if case.startswith("c_"):
+        rung, status, ct, body = {
+            "c_ok_201": ("wcs-2.0.1", 200, "image/geotiff", b"II*\x00tiff!"),
+            "c_status_404": ("wcs-2.0.1", 404, "text/xml", b"<err/>"),
+            "c_xml_exception": ("wcs-1.1.1", 200,
+                                "application/vnd.ogc.se_xml",
+                                b"<ServiceException/>"),
+            "c_tiff_100": ("wcs-1.0.0", 200, "application/tiff", b"II*\x00abc"),
+            # the '*tiff*' content-type leniency is 1.0.0-ONLY; the same
+            # type on the WMS rung must be rejected
+            "c_tiff_wms": ("wms-1.3.0", 200, "application/tiff", b"II*\x00abc"),
+        }[case]
+        try:
+            body_out = _wcs.classify_response(rung, status, ct, body)
+            outcome = f"accept:{len(body_out)}"
+        except ValueError as e:
+            outcome = ("reject_status" if "status" in str(e)
+                       else "reject_content")
+        return [("classify", status, f"{case}:{rung}", outcome)]
+    if case.startswith("l_"):
+        # per-rung canned response mode: None = 200 image/geotiff
+        fail_modes = {
+            "l_first_ok": {},
+            "l_fallthrough_111": {"wcs-2.0.1": "http404"},
+            "l_wms_last": {"wcs-2.0.1": "http404", "wcs-1.1.1": "xml200",
+                           "wcs-1.0.0": "http404"},
+            "l_all_fail": {r: "http404" for r in _WCS_RUNGS},
+        }[case]
+
+        def canned(url: str) -> tuple[int, str, bytes]:
+            rung = ("wms-1.3.0" if "service=WMS" in url else
+                    "wcs-2.0.1" if "version=2.0.1" in url else
+                    "wcs-1.1.1" if "version=1.1.1" in url else "wcs-1.0.0")
+            mode = fail_modes.get(rung)
+            if mode == "http404":
+                return 404, "text/html", b"not found"
+            if mode == "xml200":  # 200 + service exception -> fall through
+                return 200, "application/vnd.ogc.se_xml", b"<ServiceException/>"
+            return 200, "image/geotiff", b"II*\x00data"
+
+        try:
+            rung, _body = _wcs.fetch_coverage(canned, base, "dem_delhi",
+                                              geo_bbox, buffer=0.5)
+            return [("ladder", _WCS_RUNGS.index(rung), case, rung)]
+        except RuntimeError:
+            return [("ladder", -1, case, "error:all_rungs_failed")]
+    if case == "r_store_name":
+        name = _wcs.store_name_from_coverage(
+            {"coverage": {"store": {"name": "useruploads:dem_store"}}})
+        return [("resolve", 0, case, name)]
+    store = {
+        "r_abs": {"coverageStore": {"url": "file:///srv/gsdata/dem/dem_delhi.tif"}},
+        "r_rel_hit": {"coverageStore": {"url": "file:dem/dem_delhi.tif"}},
+        "r_rel_miss": {"coverageStore": {"url": "dem/nowhere.tif"}},
+    }[case]
+    # injected exists() recognizes only the fixture path, so a stray
+    # GEOSERVER_DATA_DIR in the executor env cannot perturb the result
+    path = _wcs.resolve_store_path(
+        store, data_dirs=["/opt/none", "/srv/gsdata"],
+        exists=lambda p: p == "/srv/gsdata/dem/dem_delhi.tif")
+    return [("resolve", 0, case, path)]
+
+
+_WCS_LADDER_VALUES_SQL = """
+        (VALUES
+    ('url', 0, 'u_geo:wcs-2.0.1', 'http://gs/geoserver/wcs?service=WCS&version=2.0.1&request=GetCoverage&coverageId=useruploads:dem_delhi&subset=Long(76.5,78.5)&subset=Lat(27.5,29.5)&format=image/geotiff&outputCRS=EPSG:4326'),
+    ('url', 1, 'u_geo:wcs-1.1.1', 'http://gs/geoserver/wcs?service=WCS&version=1.1.1&request=GetCoverage&identifier=useruploads:dem_delhi&BoundingBox=76.5,27.5,78.5,29.5,EPSG:4326&format=image/geotiff&GridCS=EPSG:4326&GridType=urn:ogc:def:method:WCS:1.1:2dSimpleGrid'),
+    ('url', 2, 'u_geo:wcs-1.0.0', 'http://gs/geoserver/wcs?service=WCS&version=1.0.0&request=GetCoverage&coverage=useruploads:dem_delhi&bbox=76.5,27.5,78.5,29.5&crs=EPSG:4326&response_crs=EPSG:4326&format=GeoTIFF&width=1024&height=1024'),
+    ('url', 3, 'u_geo:wms-1.3.0', 'http://gs/geoserver/wms?service=WMS&version=1.3.0&request=GetMap&layers=useruploads:dem_delhi&bbox=27.5,76.5,29.5,78.5&width=1024&height=1024&crs=EPSG:4326&format=image/geotiff&styles='),
+    ('url', 0, 'u_utm:wcs-2.0.1', 'http://gs/geoserver/wcs?service=WCS&version=2.0.1&request=GetCoverage&coverageId=useruploads:slope_utm43&subset=E(699999.5,705000.5)&subset=N(3099999.5,3105000.5)&format=image/geotiff&outputCRS=EPSG:32643'),
+    ('url', 1, 'u_utm:wcs-1.1.1', 'http://gs/geoserver/wcs?service=WCS&version=1.1.1&request=GetCoverage&identifier=useruploads:slope_utm43&BoundingBox=699999.5,3099999.5,705000.5,3105000.5,EPSG:32643&format=image/geotiff&GridCS=EPSG:32643&GridType=urn:ogc:def:method:WCS:1.1:2dSimpleGrid'),
+    ('url', 2, 'u_utm:wcs-1.0.0', 'http://gs/geoserver/wcs?service=WCS&version=1.0.0&request=GetCoverage&coverage=useruploads:slope_utm43&bbox=699999.5,3099999.5,705000.5,3105000.5&crs=EPSG:32643&response_crs=EPSG:32643&format=GeoTIFF&width=1024&height=1024'),
+    ('url', 3, 'u_utm:wms-1.3.0', 'http://gs/geoserver/wms?service=WMS&version=1.3.0&request=GetMap&layers=useruploads:slope_utm43&bbox=699999.5,3099999.5,705000.5,3105000.5&width=1024&height=1024&crs=EPSG:32643&format=image/geotiff&styles='),
+    ('classify', 200, 'c_ok_201:wcs-2.0.1', 'accept:9'),
+    ('classify', 404, 'c_status_404:wcs-2.0.1', 'reject_status'),
+    ('classify', 200, 'c_xml_exception:wcs-1.1.1', 'reject_content'),
+    ('classify', 200, 'c_tiff_100:wcs-1.0.0', 'accept:7'),
+    ('classify', 200, 'c_tiff_wms:wms-1.3.0', 'reject_content'),
+    ('ladder', 0, 'l_first_ok', 'wcs-2.0.1'),
+    ('ladder', 1, 'l_fallthrough_111', 'wcs-1.1.1'),
+    ('ladder', 3, 'l_wms_last', 'wms-1.3.0'),
+    ('ladder', -1, 'l_all_fail', 'error:all_rungs_failed'),
+    ('resolve', 0, 'r_abs', '/srv/gsdata/dem/dem_delhi.tif'),
+    ('resolve', 0, 'r_rel_hit', '/srv/gsdata/dem/dem_delhi.tif'),
+    ('resolve', 0, 'r_rel_miss', 'dem/nowhere.tif'),
+    ('resolve', 0, 'r_store_name', 'dem_store')
+        ) AS w(kind, root_priority, root, path)
+"""
+
 
 @_register(
     "multi_root_scan",
@@ -1970,18 +2103,30 @@ _MR_CATALOG_SQL = """
                ROW_NUMBER() OVER (PARTITION BY root ORDER BY path) AS rn
         FROM hits
     )
-    SELECT CAST(root_priority AS INT) AS root_priority, root, path
+    (SELECT 'scan' AS kind, CAST(root_priority AS INT) AS root_priority,
+           root, path
     FROM capped WHERE rn <= 8
-    ORDER BY root_priority, path LIMIT 20
+    ORDER BY root_priority, path LIMIT 20)
+    UNION ALL
+    SELECT kind, CAST(root_priority AS INT) AS root_priority, root, path
+    FROM {_WCS_LADDER_VALUES_SQL}
     """,
 )
 def q_multi_root_scan(spark, sf_dir):
-    """A2: multi-root glob search with per-root + global caps
+    """A2 + A5, tagged union (kind column).
+
+    kind='scan': multi-root glob search with per-root + global caps
     (test2.py:45-89). The documents table doubles as a distributed file
     catalog: (source, derived filename). One root in the priority list
     does not exist and contributes nothing, files matching several
     patterns dedupe, and both caps are deterministic (sorted before
-    the head — the reference's unordered set()[:5] made reproducible)."""
+    the head — the reference's unordered set()[:5] made reproducible).
+
+    kind='url'/'classify'/'ladder'/'resolve': every offline decision of
+    the A5 WCS/WMS fetch ladder (sources/wcs.py; test2.py:286-992,
+    get_raster_stats_clean.py:83-134) computed executor-side over the
+    fixture cases and checked against hand-pinned VALUES literals in
+    the oracle — see _wcs_case_rows."""
     from ..sources import multiroot
 
     docs = _load(spark, sf_dir, "documents")
@@ -1996,13 +2141,30 @@ def q_multi_root_scan(spark, sf_dir):
             .otherwise(F.lit(".txt")),
         ).alias("path"),
     )
-    return multiroot.multi_root_scan(
+    scan = multiroot.multi_root_scan(
         cat,
         roots=["src3", "src1", "no_such_root", "src5"],
         patterns=["*.tif", "*.tiff", "*slope*.tif*"],
         per_root_cap=8,
         cap=20,
+    ).select(F.lit("scan").alias("kind"), "root_priority", "root", "path")
+
+    def wcs_kernel(batches):
+        for pdf in batches:
+            rows = []
+            for case in pdf["case"]:
+                rows.extend(_wcs_case_rows(case))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["kind", "root_priority", "root", "path"]
+                )
+
+    ladder = spark.createDataFrame(
+        [(c,) for c in _WCS_CASES], "case string"
+    ).repartition(4).mapInPandas(
+        wcs_kernel, "kind string, root_priority int, root string, path string"
     )
+    return scan.unionByName(ladder)
 
 
 # ---------------------------------------------------------------------------
