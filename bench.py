@@ -196,6 +196,207 @@ def bench_ivf_distributed(spark, sf_dir: str) -> dict:
     }
 
 
+def bench_rerank_wire(spark, cpus: int) -> dict:
+    """The wide-vector re-rank wire, measured: the SAME candidate set
+    exact-scored over the ``array<long>`` + zip_with transport vs the
+    width-tagged int16 binary wire (exact_rerank_topk), at a real
+    embedding dim (768). Both runs return bit-identical rows; the delta
+    is pure transport cost — array cells pay per-element
+    UnsafeArrayData <-> Arrow conversion on both shuffle sides, the
+    binary wire one opaque memcpy at 4x fewer bytes.
+
+    Broadcast joins are disabled for this entry (conf saved/restored):
+    at bench scale AQE would broadcast the 2048-row vector side and
+    neither wire would cross a shuffle — but a 100 TB corpus never
+    broadcasts, and the shuffle plan is the one this wire exists for.
+    Measured on this host the gap GROWS with pair volume (1.2x at 8k
+    pairs, 1.8x at 32k, 2.2x at 131k on 8 cores) — the sandbox numbers
+    are the conservative floor of the 10x+ per-element-conversion
+    delta measured on GB-scale shuffles (PLANS.md 'Blocked cosine')."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tiff_to_geojson_csv_json_format_converter_spark.operators import similarity
+
+    nvec = int(os.environ.get("SPARK_GRAFT_WIRE_ROWS", "2048"))
+    dim = int(os.environ.get("SPARK_GRAFT_WIRE_DIM", "768"))
+    fanout = int(os.environ.get("SPARK_GRAFT_WIRE_FANOUT", "32"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = [
+                np.random.default_rng(int(i)).normal(size=dim).astype(np.float32)
+                for i in ids
+            ]
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    corpus = spark.range(nvec, numPartitions=cpus).mapInPandas(
+        gen, "vec_id long, embedding array<float>"
+    ).cache()
+    corpus.count()
+    cand = (
+        spark.range(nvec, numPartitions=cpus)
+        .select(
+            F.col("id").alias("query_id"),
+            F.explode(F.sequence(F.lit(1), F.lit(fanout))).alias("o"),
+        )
+        .select("query_id", ((F.col("query_id") + F.col("o")) % nvec).alias("neighbor_id"))
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    for k in saved:
+        spark.conf.set(k, "-1")
+    timings = {}
+    try:
+        for wire in ("array", "binary"):
+            t0 = time.perf_counter()
+            n = similarity.exact_rerank_topk(
+                corpus, cand, k=5, wire=wire
+            ).count()
+            timings[f"{wire}_sec"] = round(time.perf_counter() - t0, 3)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    corpus.unpersist()
+    return {
+        **timings,
+        "speedup": round(timings["array_sec"] / max(timings["binary_sec"], 1e-9), 2),
+        "pairs": nvec * fanout,
+        "dim": dim,
+        "topk_rows": n,
+    }
+
+
+def bench_scaled_suite(spark, sf_dir: str, cpus: int, host_probe, mult: int = 4) -> dict:
+    """Scale-shaped variants of the five multi-second suite queries at
+    ``mult``x their input size — the sf0.1 suite is majority sub-second
+    and scheduler-bound, so THESE are the timings that carry plan-shape
+    signal round over round. Inputs are scaled without changing workload
+    shape:
+
+    - points (knn / cell_cover): each point explodes to ``mult``
+      jittered replicas (new point_ids) — join and refine work scale
+      linearly, candidate structure preserved.
+    - documents (ngram_jaccard): per-replica alphabet rotation
+      (F.translate) keeps in-replica near-dup structure but destroys
+      cross-replica shingle overlap — pair count scales ~linearly, no
+      quadratic dup-group blowup.
+    - embeddings (ivf / neardup): ``mult``x fresh seeded-random vectors
+      (NOT copies — copies would plant n^2 exact-dup pairs).
+
+    Timed best-of-3 with the same per-query host probe as the headline
+    suite; reported under a separate JSON key so round-over-round
+    comparison of the headline table survives."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tiff_to_geojson_csv_json_format_converter_spark.operators import (
+        dedup, joins, similarity,
+    )
+    from tiff_to_geojson_csv_json_format_converter_spark.plans import entry_queries
+    from tiff_to_geojson_csv_json_format_converter_spark.sources import synth
+
+    timings: dict[str, float] = {}
+    probes: dict[str, float] = {}
+
+    def best_of(name, fn, reps: int = 3):
+        probes[name] = round(host_probe() / PROBE_REF_SEC, 2)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    rep = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("r")
+
+    # --- points x mult (jittered replicas, fresh point_ids)
+    pts = entry_queries._pts(spark, sf_dir).filter("valid")
+    pts_m = (
+        pts.select("*", rep)
+        .withColumn("lon", F.col("lon") + F.col("r") * F.lit(1e-4))
+        .withColumn("point_id", F.col("point_id") * mult + F.col("r"))
+        .drop("r")
+    )
+
+    cust = entry_queries._load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 15 == 0
+    ).select(
+        F.col("c_custkey").cast("string").alias("query_id"),
+        (F.lit(77.0) + (F.col("c_custkey") % 100) * F.lit(0.005)).alias("qlon"),
+        (F.lit(28.0) + (F.col("c_custkey") % 71) * F.lit(0.007)).alias("qlat"),
+    )
+    best_of("knn", lambda: joins.knn_join(
+        pts_m.select(F.col("point_id").alias("pixel_idx"), "lon", "lat"),
+        cust, k=3, level=14, max_ring=2,
+        point_cols=("lon", "lat"), query_cols=("qlon", "qlat"),
+    ).count())
+
+    polys = synth.polygons_df(spark)
+    best_of("cell_cover_join", lambda: joins.cell_cover_join(
+        pts_m, polys, level=8, lon_col="lon", lat_col="lat"
+    ).groupBy("polygon_id").agg(
+        F.count("*").alias("n"), F.sum(F.col("z").cast("long")).alias("sum_z")
+    ).count())
+
+    # --- documents x mult (alphabet rotation per replica)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    docs = entry_queries._load(spark, sf_dir, "documents")
+    text_col = F.col("text")
+    for r in range(1, mult):
+        rot = alpha[r:] + alpha[:r]
+        text_col = F.when(F.col("r") == r, F.translate("text", alpha, rot)).otherwise(text_col)
+    docs_m = (
+        docs.select("doc_id", "source", "text", rep)
+        .withColumn("doc_id", F.col("doc_id") * mult + F.col("r"))
+        .withColumn("text", text_col)
+        .drop("r")
+    )
+    best_of("ngram_jaccard", lambda: dedup.jaccard_pairs(
+        docs_m, n=4, threshold_e6=300_000, block_col="source"
+    ).count())
+
+    # --- embeddings x mult (fresh seeded vectors)
+    n_emb = entry_queries._load(spark, sf_dir, "embeddings").count()
+    dim = 64
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = [
+                np.random.default_rng(1_000_000 + int(i)).normal(size=dim).astype(np.float32)
+                for i in ids
+            ]
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    emb_m = spark.range(n_emb * mult, numPartitions=cpus).mapInPandas(
+        gen, "vec_id long, embedding array<float>"
+    ).cache()
+    emb_m.count()
+    best_of("ann_ivf_distributed", lambda: similarity.ivf_topk(
+        emb_m, k=5, n_centroids=16, train="distributed", kmeans_iters=2
+    ).count())
+    best_of("embed_neardup", lambda: similarity.cosine_pairs(
+        emb_m, threshold_e6=950_000, mode="lsh"
+    ).count())
+    emb_m.unpersist()
+
+    return {
+        "mult": mult,
+        "queries": timings,
+        "host_probe_ratio": probes,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -304,6 +505,18 @@ def main() -> None:
         ivf_info = bench_ivf_distributed(spark, sf_dir)
         timings["ann_ivf_distributed"] = ivf_info["sec"]
         total += ivf_info["sec"]
+
+    wire_info = None
+    if os.environ.get("SPARK_GRAFT_BENCH_WIRE", "1") != "0":
+        probed("rerank_wire_768")
+        wire_info = bench_rerank_wire(spark, cpus)
+
+    scaled_info = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALED", "1") != "0":
+        scaled_info = bench_scaled_suite(
+            spark, sf_dir, cpus, host_probe,
+            mult=int(os.environ.get("SPARK_GRAFT_SCALED_MULT", "4")),
+        )
     ratios = list(probe_ratios.values())
     out = {
         "metric": "headline query suite wall-clock",
@@ -336,6 +549,10 @@ def main() -> None:
     if ivf_info is not None:
         out["ann_ivf_recall_at_5"] = ivf_info["recall_at_5"]
         out["ann_ivf_distributed"] = ivf_info
+    if wire_info is not None:
+        out["rerank_wire_768"] = wire_info
+    if scaled_info is not None:
+        out["scaled_4x"] = scaled_info
     print(json.dumps(out))
     spark.stop()
 

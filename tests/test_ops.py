@@ -150,6 +150,42 @@ class TestSimilarity:
             b = np.floor(np.asarray(pdf.loc[r["neighbor_id"], "embedding"], dtype=np.float64) * 1000).astype(np.int64)
             assert r["dot_q"] == int(a @ b)
 
+    def test_rerank_binary_wire_bit_equal_to_array_wire(self, spark):
+        """The int16 binary wire and the array<long>+zip_with wire must
+        produce IDENTICAL rows — same quantization, same IEEE scoring
+        tree — at the registered dim 64."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cols = ["query_id", "neighbor_id", "dot_q", "cos_e6", "rank"]
+        for fn in (
+            lambda w: similarity.ivf_topk(emb, k=3, wire=w),
+            lambda w: similarity.lsh_topk(emb, k=3, wire=w),
+        ):
+            arr = fn("array").toPandas().sort_values(["query_id", "rank"])
+            binw = fn("binary").toPandas().sort_values(["query_id", "rank"])
+            assert arr[cols].reset_index(drop=True).equals(
+                binw[cols].reset_index(drop=True)
+            )
+
+    def test_rerank_auto_wire_routes_wide_dims_to_binary(self, spark):
+        """dim >= 128 auto-routes to the binary wire; results still match
+        a numpy exact re-rank of the same candidates."""
+        rng = np.random.default_rng(7)
+        dim = 192
+        V = rng.normal(size=(40, dim))
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in V[i]]) for i in range(len(V))],
+            "vec_id long, embedding array<double>",
+        )
+        got = similarity.lsh_topk(emb, k=2, dim=dim).toPandas()
+        Q = np.floor(V * 1000).astype(np.int64)
+        for _, r in got.head(25).iterrows():
+            a, b = Q[int(r["query_id"])], Q[int(r["neighbor_id"])]
+            assert r["dot_q"] == int(a @ b)
+            want = int(np.floor(
+                float(a @ b) / np.sqrt(float(a @ a) * float(b @ b)) * 1e6))
+            assert r["cos_e6"] == want
+
 
 class TestText:
     def test_quality_matches_python(self, spark):

@@ -210,6 +210,156 @@ def cosine_pairs(df: DataFrame, threshold_e6: int = 950_000, id_col: str = "vec_
     return qdf.mapInPandas(pairs, "id_a long, id_b long, dot_q long, cos_e6 long")
 
 
+_WIRE_WIDTHS = {2: "<i2", 4: "<i4", 8: "<i8"}
+
+
+def _pack_vec_udf(scale: int):
+    """Pandas UDF: array<float> -> width-tagged BINARY cell.
+
+    ``q = floor(float64(v) * scale)`` (the same IEEE expression tree as
+    with_quantized's Catalyst form), then 1 header byte (2/4/8) + the
+    ints at the narrowest width that holds the row's extremes — int16
+    for unit-norm-ish embeddings at scale 1000. The binary wire is the
+    measured 10x+ win over ``array`` cells for wide vectors: one opaque
+    memcpy per cell instead of per-element UnsafeArrayData <-> Arrow
+    conversion on both shuffle sides, at 4x fewer bytes than raw floats
+    (PLANS.md 'Blocked cosine')."""
+
+    @F.pandas_udf("binary")
+    def pack(col: pd.Series) -> pd.Series:
+        out = []
+        for v in col:
+            q = np.floor(np.asarray(v, dtype=np.float64) * scale)
+            lo, hi = q.min() if q.size else 0.0, q.max() if q.size else 0.0
+            if -32768.0 <= lo and hi <= 32767.0:
+                out.append(b"\x02" + q.astype("<i2").tobytes())
+            elif -2147483648.0 <= lo and hi <= 2147483647.0:
+                out.append(b"\x04" + q.astype("<i4").tobytes())
+            else:
+                out.append(b"\x08" + q.astype("<i8").tobytes())
+        return pd.Series(out, dtype=object)
+
+    return pack
+
+
+def _unpack_f64(col) -> np.ndarray:
+    """Width-tagged int blobs -> ONE preallocated f64 matrix, row by
+    row. One output allocation + row-sized temps (not a chain of
+    block-sized stack/astype temps): on lazy-paging hosts
+    (firecracker-style VMs) first-touch faults on GB-scale mmap'd
+    temps dominate wall-clock ~40x over the arithmetic (measured:
+    40 s vs 1 s for a 2 GB elementwise op). f64 holds every quantized
+    value exactly, which is all the BLAS fast path needs."""
+    vals = col.to_numpy()
+    n = len(vals)
+    d = (len(vals[0]) - 1) // vals[0][0]
+    out = np.empty((n, d), dtype=np.float64)
+    for i, v in enumerate(vals):
+        out[i] = np.frombuffer(v, dtype=_WIRE_WIDTHS[v[0]], offset=1)
+    return out
+
+
+def exact_rerank_topk(df: DataFrame, cand: DataFrame, k: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      scale: int = 1000, wire: str = "auto",
+                      wire_dim_threshold: int = 128) -> DataFrame:
+    """Exact quantized-cosine re-rank of candidate pairs + per-query
+    top-k — the shared final stage of :func:`ivf_topk` and
+    :func:`lsh_topk`. ``cand`` holds (query_id, neighbor_id) columns.
+
+    ``wire`` picks how vectors reach the scoring join:
+
+    - ``'array'``: int64 ``qvec`` arrays scored JVM-side with
+      ``aggregate(zip_with(...))`` — whole-stage-codegen friendly and
+      the right shape at small dims (the per-element lambda costs
+      ~dim virtual calls per pair).
+    - ``'binary'``: width-tagged int16/32/64 blobs (one opaque memcpy
+      per cell across the shuffle) scored in one vectorized Arrow
+      kernel — the wide-vector path: ``array`` cells pay per-element
+      conversion on both shuffle sides, measured 10x+ slower at
+      real embedding dims (PLANS.md 'Blocked cosine').
+    - ``'auto'``: probe the dim from one row (a tiny head() job) and
+      pick binary at ``dim >= wire_dim_threshold``.
+
+    Both wires floor-quantize BEFORE any transport, compute the
+    identical IEEE expression tree
+    ``FLOOR(dot / SQRT(f64(na) * f64(nb)) * 1e6)`` on exact integers,
+    and are therefore bit-equal (asserted in tests/test_ops.py)."""
+    if wire not in ("auto", "array", "binary"):
+        raise ValueError(f"unknown wire {wire!r}")
+    if wire == "auto":
+        row = df.select(vec_col).head()
+        dim = len(row[0]) if row is not None else 0
+        wire = "binary" if dim >= wire_dim_threshold else "array"
+    if wire == "binary":
+        packed = df.select(
+            F.col(id_col).alias("id"),
+            _pack_vec_udf(scale)(F.col(vec_col)).alias("pvec"),
+        )
+        pa = packed.select(F.col("id").alias("query_id"), F.col("pvec").alias("pa"))
+        pb = packed.select(F.col("id").alias("neighbor_id"), F.col("pvec").alias("pb"))
+        joined = cand.join(pa, "query_id").join(pb, "neighbor_id")
+
+        def score(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = _unpack_f64(pdf["pa"])
+                Bm = _unpack_f64(pdf["pb"])
+                qmax = max(float(np.abs(A).max()), float(np.abs(Bm).max()), 1.0)
+                if qmax * qmax * A.shape[1] < 2.0**53:
+                    na = np.einsum("ij,ij->i", A, A)
+                    nb = np.einsum("ij,ij->i", Bm, Bm)
+                    dots_f = np.einsum("ij,ij->i", A, Bm)
+                    dots = np.rint(dots_f).astype(np.int64)
+                else:  # guarded exact-int fallback past the f64 window
+                    Ai = A.astype(np.int64)
+                    Bi = Bm.astype(np.int64)
+                    na = np.einsum("ij,ij->i", Ai, Ai).astype(np.float64)
+                    nb = np.einsum("ij,ij->i", Bi, Bi).astype(np.float64)
+                    dots = np.einsum("ij,ij->i", Ai, Bi)
+                    dots_f = dots.astype(np.float64)
+                cos_e6 = np.floor(dots_f / np.sqrt(na * nb) * 1e6).astype(np.int64)
+                yield pd.DataFrame({
+                    "query_id": pdf["query_id"].to_numpy().astype(np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy().astype(np.int64),
+                    "dot_q": dots,
+                    "cos_e6": cos_e6,
+                })
+
+        scored = joined.mapInPandas(
+            score, "query_id long, neighbor_id long, dot_q long, cos_e6 long"
+        )
+    else:
+        qdf = with_quantized(df, vec_col, scale).select(
+            F.col(id_col).alias("id"), "qvec", "qnorm2"
+        )
+        qa = qdf.select(F.col("id").alias("query_id"), F.col("qvec").alias("va"),
+                        F.col("qnorm2").alias("na"))
+        qb = qdf.select(F.col("id").alias("neighbor_id"), F.col("qvec").alias("vb"),
+                        F.col("qnorm2").alias("nb"))
+        dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                          F.lit(0).cast("long"), lambda acc, v: acc + v)
+        scored = (
+            cand.join(qa, "query_id").join(qb, "neighbor_id")
+            .withColumn("dot_q", dot)
+            .withColumn(
+                "cos_e6",
+                F.floor(
+                    F.col("dot_q").cast("double")
+                    / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+                    * 1e6
+                ).cast("long"),
+            )
+        )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_e6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "cos_e6", "rank")
+    )
+
+
 def cosine_pairs_blocked(df: DataFrame, threshold_e6: int = 950_000,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          scale: int = 1000, n_blocks: int | None = None,
@@ -253,20 +403,7 @@ def cosine_pairs_blocked(df: DataFrame, threshold_e6: int = 950_000,
     if n_blocks is None:
         n_blocks = max(1, -(-df.count() // max(block_rows, 1)))  # ceil
     B = int(n_blocks)
-
-    @F.pandas_udf("binary")
-    def pack(col: pd.Series) -> pd.Series:
-        out = []
-        for v in col:
-            q = np.floor(np.asarray(v, dtype=np.float64) * scale)
-            lo, hi = q.min() if q.size else 0.0, q.max() if q.size else 0.0
-            if -32768.0 <= lo and hi <= 32767.0:
-                out.append(b"\x02" + q.astype("<i2").tobytes())
-            elif -2147483648.0 <= lo and hi <= 2147483647.0:
-                out.append(b"\x04" + q.astype("<i4").tobytes())
-            else:
-                out.append(b"\x08" + q.astype("<i8").tobytes())
-        return pd.Series(out, dtype=object)
+    pack = _pack_vec_udf(scale)
 
     rep = (
         df.select(F.col(id_col).alias("id"), pack(F.col(vec_col)).alias("vec"))
@@ -283,24 +420,7 @@ def cosine_pairs_blocked(df: DataFrame, threshold_e6: int = 950_000,
         .select("bi", "bj", "side", "id", "vec")
     )
     out_cols = ["id_a", "id_b", "dot_q", "cos_e6"]
-
-    _widths = {2: "<i2", 4: "<i4", 8: "<i8"}
-
-    def unpack_f64(col) -> np.ndarray:
-        """Width-tagged int blobs -> ONE preallocated f64 matrix, row by
-        row. One output allocation + row-sized temps (not a chain of
-        block-sized stack/astype temps): on lazy-paging hosts
-        (firecracker-style VMs) first-touch faults on GB-scale mmap'd
-        temps dominate wall-clock ~40x over the arithmetic (measured:
-        40 s vs 1 s for a 2 GB elementwise op). f64 holds every quantized
-        value exactly, which is all the BLAS fast path needs."""
-        vals = col.to_numpy()
-        n = len(vals)
-        d = (len(vals[0]) - 1) // vals[0][0]
-        out = np.empty((n, d), dtype=np.float64)
-        for i, v in enumerate(vals):
-            out[i] = np.frombuffer(v, dtype=_widths[v[0]], offset=1)
-        return out
+    unpack_f64 = _unpack_f64
 
     def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
         diag = (pdf["side"] == "s").any()
@@ -570,7 +690,8 @@ def spherical_kmeans_distributed(df: DataFrame, n_centroids: int, iters: int,
 
 def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
-             kmeans_iters: int = 3, train: str = "sample") -> DataFrame:
+             kmeans_iters: int = 3, train: str = "sample",
+             wire: str = "auto") -> DataFrame:
     """IVF (inverted-file) approximate top-k: vectors are assigned to the
     nearest of ``n_centroids`` coarse centroids; each query probes its
     ``n_probe`` nearest centroid lists and exact-reranks only those
@@ -591,6 +712,12 @@ def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 10
     the 10^9-vector path. Recall/exactness properties are identical
     either way (probing is what bounds recall; with
     n_probe == n_centroids the result is exact regardless of training).
+
+    ``wire``: transport for the exact re-rank stage (see
+    :func:`exact_rerank_topk`) — 'auto' picks the width-tagged int16
+    binary wire at dim >= 128, where ``array<long>`` cells' per-element
+    shuffle conversion becomes the stage bottleneck. Results are
+    bit-equal on either wire.
     """
     import numpy as np
 
@@ -636,24 +763,8 @@ def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 10
         .select("query_id", "neighbor_id")
         .dropDuplicates()
     )
-    qdf = with_quantized(df, vec_col).select(F.col(id_col).alias("id"), "qvec", "qnorm2")
-    qa = qdf.select(F.col("id").alias("query_id"), F.col("qvec").alias("va"), F.col("qnorm2").alias("na"))
-    qb = qdf.select(F.col("id").alias("neighbor_id"), F.col("qvec").alias("vb"), F.col("qnorm2").alias("nb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v)
-    scored = (
-        cand.join(qa, "query_id").join(qb, "neighbor_id")
-        .withColumn("dot_q", dot)
-        .withColumn(
-            "cos_e6",
-            F.floor(F.col("dot_q").cast("double") / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")) * 1e6).cast("long"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_e6"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "dot_q", "cos_e6", "rank")
-    )
+    return exact_rerank_topk(df, cand, k, id_col=id_col, vec_col=vec_col,
+                             wire=wire)
 
 
 def lsh_planes_int(n_tables: int = 4, n_planes: int = 16, dim: int = 64,
@@ -669,7 +780,7 @@ def lsh_planes_int(n_tables: int = 4, n_planes: int = 16, dim: int = 64,
 
 def lsh_topk(df: DataFrame, k: int = 5, n_planes: int = 16, id_col: str = "vec_id",
              vec_col: str = "embedding", dim: int = 64, seed: int = 42,
-             n_tables: int = 4) -> DataFrame:
+             n_tables: int = 4, wire: str = "auto") -> DataFrame:
     """Approximate top-k: random-hyperplane signatures (n_tables
     independent tables of n_planes bits, integer-quantized planes x
     integer-quantized vectors — fully deterministic), candidates =
@@ -707,23 +818,9 @@ def lsh_topk(df: DataFrame, k: int = 5, n_planes: int = 16, id_col: str = "vec_i
         .select("query_id", "neighbor_id")
         .dropDuplicates()
     )
-    qdf = with_quantized(df, vec_col).select(
-        F.col(id_col).alias("id"), "qvec", "qnorm2"
-    )
-    qa = qdf.select(F.col("id").alias("query_id"), F.col("qvec").alias("va"), F.col("qnorm2").alias("na"))
-    qb = qdf.select(F.col("id").alias("neighbor_id"), F.col("qvec").alias("vb"), F.col("qnorm2").alias("nb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v)
-    scored = (
-        cand.join(qa, "query_id").join(qb, "neighbor_id")
-        .withColumn("dot_q", dot)
-        .withColumn(
-            "cos_e6",
-            F.floor(F.col("dot_q").cast("double") / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")) * 1e6).cast("long"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_e6"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "dot_q", "cos_e6", "rank")
-    )
+    # the declared plane dim decides the wire without a probe job
+    resolved = wire
+    if resolved == "auto":
+        resolved = "binary" if dim >= 128 else "array"
+    return exact_rerank_topk(df, cand, k, id_col=id_col, vec_col=vec_col,
+                             wire=resolved)
