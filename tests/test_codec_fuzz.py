@@ -75,8 +75,24 @@ def test_decoders_never_crash_on_arbitrary_bytes(blob):
             pass
 
 
+@settings(max_examples=25, deadline=None)
+@given(n=st.integers(min_value=1, max_value=1200),
+       ch=st.integers(min_value=1, max_value=2), data=st.data())
+def test_adpcm_roundtrip_any_shape_structural(n, ch, data):
+    """IMA ADPCM is lossy: the structural invariant is exact shape/
+    dtype/frame-count (the fact chunk trims block padding) plus every
+    block's first frame exact (it rides the header verbatim); SNR is
+    covered by the dedicated smooth-signal tests."""
+    seed = data.draw(st.integers(min_value=0, max_value=2**31))
+    s = (np.random.default_rng(seed)
+         .integers(-32768, 32767, (n, ch), dtype=np.int64).astype(np.int16))
+    out, sr = wav.decode_wav(wav.encode_wav_adpcm(s, 11025))
+    assert sr == 11025 and out.dtype == np.int16 and out.shape == (n, ch)
+    np.testing.assert_array_equal(out[0], s[0])
+
+
 @settings(max_examples=40, deadline=None)
-@given(which=st.sampled_from(["png", "wav", "avi", "jpeg"]),
+@given(which=st.sampled_from(["png", "wav", "adpcm", "avi", "jpeg"]),
        cut=st.floats(min_value=0.0, max_value=1.0),
        flip_at=st.floats(min_value=0.0, max_value=1.0),
        data=st.data())
@@ -91,6 +107,9 @@ def test_decoders_never_crash_on_mutated_valid_streams(which, cut, flip_at, data
         dec = png.decode_png
     elif which == "wav":
         buf = wav.encode_wav(rng.integers(-100, 100, (40, 2), dtype=np.int64).astype(np.int16))
+        dec = wav.decode_wav
+    elif which == "adpcm":
+        buf = wav.encode_wav_adpcm(rng.integers(-3000, 3000, (60, 2), dtype=np.int64).astype(np.int16))
         dec = wav.decode_wav
     elif which == "avi":
         buf = avi.encode_avi(rng.integers(0, 255, (2, 6, 6, 3), dtype=np.int64).astype(np.uint8))

@@ -96,6 +96,92 @@ def test_synth_media_rows_audio_is_real_wav():
     assert n_audio > 0
 
 
+def _smooth(n, ch, seed=0):
+    """ADPCM-friendly content: band-limited sum of sines (differential
+    codecs are built for smooth signals; white noise is their worst
+    case, like noise for JPEG)."""
+    t = np.arange(n)
+    base = (8000 * np.sin(t / 29.0) + 2500 * np.sin(t / 7.0 + seed)).astype(np.int16)
+    cols = [base] + [(base // (2 + c)).astype(np.int16) for c in range(1, ch)]
+    return np.stack(cols, axis=1)
+
+
+class TestAdpcm:
+    @pytest.mark.parametrize("ch", [1, 2])
+    @pytest.mark.parametrize("n", [1, 504, 505, 506, 1700])
+    def test_roundtrip_shape_and_snr(self, n, ch):
+        """Lossy but bounded: smooth signals round-trip at >= 25 dB SNR
+        (IMA ADPCM's design point is 30-40 dB); shape, dtype, and the
+        fact-chunk frame trim are exact across block boundaries
+        (505 frames/block)."""
+        s = _smooth(n, ch, seed=n)
+        buf = wav.encode_wav_adpcm(s, 8000)
+        out, sr = wav.decode_wav(buf)
+        assert sr == 8000 and out.dtype == np.int16 and out.shape == (n, ch)
+        num = float((s.astype(np.float64) ** 2).mean())
+        err = float(((out.astype(np.float64) - s) ** 2).mean())
+        assert 10 * np.log10(max(num, 1.0) / max(err, 1e-9)) >= 25.0
+
+    def test_first_frame_is_exact(self):
+        """The block header carries sample 0 verbatim — every block's
+        first frame decodes exactly."""
+        s = _smooth(1100, 1, seed=4)
+        out, _ = wav.decode_wav(wav.encode_wav_adpcm(s))
+        spb = wav.IMA_BLOCK_FRAMES
+        for b in range(-(-len(s) // spb)):
+            np.testing.assert_array_equal(out[b * spb], s[b * spb])
+
+    def test_compression_ratio_is_4x_ish(self):
+        s = _smooth(wav.IMA_BLOCK_FRAMES * 4, 1, seed=2)
+        buf = wav.encode_wav_adpcm(s)
+        assert len(buf) < s.size * 2 / 3.5  # ~4x vs PCM16 minus headers
+
+    def test_stereo_channels_are_independent(self):
+        """The 4-byte-group interleave must not leak samples across
+        channels: a silent right channel stays silent."""
+        left = _smooth(600, 1, seed=5)[:, 0]
+        s = np.stack([left, np.zeros(600, dtype=np.int16)], axis=1)
+        out, _ = wav.decode_wav(wav.encode_wav_adpcm(s))
+        np.testing.assert_array_equal(out[:, 1], np.zeros(600, dtype=np.int16))
+        assert np.abs(out[:, 0].astype(np.int64) - left).mean() < 500
+
+    def test_corrupt_adpcm_raises(self):
+        s = _smooth(600, 1, seed=6)
+        good = wav.encode_wav_adpcm(s)
+        # byte-level truncation dies at the RIFF bound check
+        with pytest.raises(ValueError, match="truncated"):
+            wav.decode_wav(good[:-3])
+        # consistent container, data chunk NOT whole ADPCM blocks
+        cut = bytearray(good[:-3])
+        data_len_pos = cut.index(b"data") + 4
+        (dlen,) = struct.unpack("<I", cut[data_len_pos:data_len_pos + 4])
+        cut[data_len_pos:data_len_pos + 4] = struct.pack("<I", dlen - 3)
+        cut[4:8] = struct.pack("<I", len(cut) - 8)
+        with pytest.raises(ValueError, match="whole blocks"):
+            wav.decode_wav(bytes(cut))
+        bad = bytearray(good)
+        # step index byte of block 0 header -> 200 (> 88)
+        data_pos = bad.index(b"data") + 8
+        bad[data_pos + 2] = 200
+        with pytest.raises(ValueError, match="step index"):
+            wav.decode_wav(bytes(bad))
+
+    def test_decode_media_handles_adpcm_rows(self):
+        s = _smooth(700, 2, seed=7)
+        got = multimodal.decode_media(wav.encode_wav_adpcm(s), "audio", "wav")
+        assert got.shape == (700, 2) and got.dtype == np.uint8
+
+    def test_synth_media_rotates_compressed_audio(self):
+        rows = multimodal.synth_media_rows(64)
+        tags = set()
+        for (_m, mt, fmt, buf, _w, _h, _nf, _sr) in rows:
+            if mt == "audio":
+                tags.add(struct.unpack("<H", bytes(buf[20:22]))[0])
+                samples, _ = wav.decode_wav(bytes(buf))
+                assert samples.dtype == np.int16
+        assert tags == {1, 17}  # PCM16 and IMA ADPCM both present
+
+
 def test_trailing_tagger_bytes_after_riff_payload_ignored():
     """ID3 tags / padding appended AFTER the declared RIFF payload are
     not chunks: the bounded walk must ignore them, not parse them."""

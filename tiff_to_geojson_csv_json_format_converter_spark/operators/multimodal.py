@@ -8,10 +8,12 @@ signatures) is real and tested. Codec status:
   palette, depths 8/16, all five scanline filters, CRC-verified) and
   ``jpeg`` (sources/jpeg.py — baseline sequential, DHT-table-driven),
   plus the deterministic ``fake/gray8`` plumbing format.
-- AUDIO decode is REAL: ``decode_media('wav')`` parses RIFF/PCM16
-  (sources/wav.py) and presents the waveform to the generic kernels as
-  the deterministic (frames, channels) high-byte envelope — feature
-  pooling and block-mean resize become temporal pooling.
+- AUDIO decode is REAL for uncompressed AND compressed rows:
+  ``decode_media('wav')`` parses RIFF PCM16 and IMA-ADPCM (format 17,
+  the 4-bit compressed integer codec) via sources/wav.py and presents
+  the waveform to the generic kernels as the deterministic (frames,
+  channels) high-byte envelope — feature pooling and block-mean
+  resize become temporal pooling.
 - VIDEO decode is REAL for both uncompressed AND motion-JPEG clips:
   ``decode_media('avi')`` parses RIFF/AVI (sources/avi.py, DIB or MJPG
   frames — the latter decoded by the in-repo JPEG codec) and yields the
@@ -219,8 +221,8 @@ def synth_media_rows(n: int = 64) -> list[tuple]:
     content across all five scanline filters — round-tripped exactly),
     REAL baseline-JPEG bytes (sources/jpeg.py, smooth deterministic
     content), and the ``fake/gray8`` plumbing format; audio rows are
-    REAL RIFF/PCM16 WAV bytes
-    (sources/wav.py, alternating mono/stereo); video rows rotate through
+    REAL RIFF/WAV bytes (sources/wav.py, alternating mono/stereo, every
+    third row IMA-ADPCM-compressed); video rows rotate through
     REAL uncompressed-AVI clips, REAL MJPEG-in-AVI clips (sources/avi.py
     + sources/jpeg.py, container-parsed frame sampling), and the ``mp4``
     stub format (poison-pill path — codecs like H.264 need ffmpeg,
@@ -253,7 +255,13 @@ def synth_media_rows(n: int = 64) -> list[tuple]:
             ach = 1 + (i // 3) % 2  # alternate mono / stereo
             samples = rng.integers(-32768, 32767, (side * side, ach),
                                    dtype=np.int64).astype(np.int16)
-            buf = _wav.encode_wav(samples, 16000)
+            if (i // 3) % 3 == 2:
+                # every third audio row rides the COMPRESSED integer
+                # codec (IMA ADPCM, format 17) so the digests exercise
+                # a lossy-decode audio path like MJPEG does for video
+                buf = _wav.encode_wav_adpcm(samples, 16000)
+            else:
+                buf = _wav.encode_wav(samples, 16000)
         elif mt == "video" and (i // 3) % 3 != 2:
             from ..sources import avi as _avi
 
