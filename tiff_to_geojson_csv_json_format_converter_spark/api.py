@@ -132,7 +132,13 @@ class Converter:
         cat = sinks.master_catalog(pts, self.images)
         with open(os.path.join(out_dir, "master_catalog.json"), "w") as f:
             json.dump(cat, f, indent=2)
-        # all-NoData info files (willOnlyStoreValidPoints.py:80-94)
+        # all-NoData info files (willOnlyStoreValidPoints.py:80-94).
+        # O(files) driver-side collect, like the reference's local-file
+        # writes and the analyze-report sink class (sinks.py carries the
+        # same note): rows here are one per IMAGE (metadata only, no
+        # pixels), so the collect is catalog-sized, not data-sized. At
+        # true 10^8-file scale route this through a distributed text
+        # sink keyed by image_id instead.
         if mode == "valid":
             have = {r["image_id"] for r in pts.select("image_id").distinct().collect()}
             for r in self.images.select("image_id", "w", "h", "crs").collect():
