@@ -146,6 +146,10 @@ def test_sample_frames_row_stub_path_defensive():
     assert [i for i, _ in out] == [0, 1, 2, 3]
     assert multimodal._sample_frames_row(buf, "mp4", float("nan"), 2) == [(-1, b"")]
     assert multimodal._sample_frames_row(buf, "mp4", None, 2) == [(-1, b"")]
+    # negative frame counts are corrupt metadata, not zero-frame clips
+    assert multimodal._sample_frames_row(buf, "mp4", -1, 2) == [(-1, b"")]
+    # zero frames stays a legitimate empty clip
+    assert multimodal._sample_frames_row(buf, "mp4", 0, 2) == []
 
 
 def test_list_chunk_with_undersized_length_rejected():

@@ -172,6 +172,13 @@ def test_permuted_scan_order_is_detected():
     buf[sos + 7:sos + 9] = c0
     with pytest.raises(NotImplementedError, match="SOS component order"):
         jpeg.decode_jpeg(bytes(buf))
+    # duplicated known ids ([1,1,3]) must be refused too — set equality
+    # would let them through to a silently garbled decode
+    buf2 = bytearray(jpeg.encode_jpeg(img, 90))
+    sos = buf2.index(b"\xff\xda")
+    buf2[sos + 7:sos + 9] = buf2[sos + 5:sos + 7]
+    with pytest.raises(NotImplementedError, match="SOS component order"):
+        jpeg.decode_jpeg(bytes(buf2))
 
 
 def test_decode_is_linear_not_quadratic():

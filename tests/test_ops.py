@@ -166,6 +166,19 @@ class TestSimilarity:
                 binw[cols].reset_index(drop=True)
             )
 
+    def test_binary_wire_refuses_nonfinite_embeddings(self, spark):
+        """NaN on the binary wire must raise loudly, never cast to
+        INT64_MIN garbage dots."""
+        emb = spark.createDataFrame(
+            [(0, [0.5, float("nan")]), (1, [0.1, 0.2])],
+            "vec_id long, embedding array<double>",
+        )
+        cand = spark.createDataFrame([(0, 1)], "query_id long, neighbor_id long")
+        # the wrapper type varies (Py4JJavaError vs PythonException)
+        # with the execution path — pin only the message
+        with pytest.raises(Exception, match="non-finite embedding"):
+            similarity.exact_rerank_topk(emb, cand, k=1, wire="binary").collect()
+
     def test_rerank_auto_wire_routes_wide_dims_to_binary(self, spark):
         """dim >= 128 auto-routes to the binary wire; results still match
         a numpy exact re-rank of the same candidates."""

@@ -191,6 +191,8 @@ def _sample_frames_row(buf: bytes, fmt: str, n_frames, every_n: int) -> list[tup
         n = int(n_frames)  # raises on None and NaN (NaN is truthy)
     except (TypeError, ValueError):
         return [(-1, b"")]
+    if n < 0:  # negative metadata is corrupt, not a zero-frame clip
+        return [(-1, b"")]
     frame_len = max(1, len(buf) // max(n, 1))
     return [(idx, buf[idx * frame_len:(idx + 1) * frame_len])
             for idx in range(0, n, max(every_n, 1))]

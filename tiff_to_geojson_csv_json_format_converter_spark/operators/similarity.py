@@ -223,13 +223,25 @@ def _pack_vec_udf(scale: int):
     measured 10x+ win over ``array`` cells for wide vectors: one opaque
     memcpy per cell instead of per-element UnsafeArrayData <-> Arrow
     conversion on both shuffle sides, at 4x fewer bytes than raw floats
-    (PLANS.md 'Blocked cosine')."""
+    (PLANS.md 'Blocked cosine').
+
+    Non-finite values (NaN/inf — real corpora have them) raise
+    ValueError LOUDLY: floor(NaN) would cast to INT64_MIN and produce
+    plausible-looking garbage dots. (The array wire's Catalyst cast
+    turns the same element into NULL, nulling the pair's dot — either
+    way the vector is unusable, but this path refuses instead of
+    silently diverging from that.)"""
 
     @F.pandas_udf("binary")
     def pack(col: pd.Series) -> pd.Series:
         out = []
         for v in col:
             q = np.floor(np.asarray(v, dtype=np.float64) * scale)
+            if q.size and not np.isfinite(q).all():
+                raise ValueError(
+                    "non-finite embedding value (NaN/inf) on the binary "
+                    "wire — clean the corpus or use wire='array'"
+                )
             lo, hi = q.min() if q.size else 0.0, q.max() if q.size else 0.0
             if -32768.0 <= lo and hi <= 32767.0:
                 out.append(b"\x02" + q.astype("<i2").tobytes())
@@ -763,6 +775,10 @@ def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 10
         .select("query_id", "neighbor_id")
         .dropDuplicates()
     )
+    # the trained centroid matrix already knows the dim driver-side —
+    # resolve 'auto' here so the rerank never pays its head() probe job
+    if wire == "auto":
+        wire = "binary" if C.shape[1] >= 128 else "array"
     return exact_rerank_topk(df, cand, k, id_col=id_col, vec_col=vec_col,
                              wire=wire)
 

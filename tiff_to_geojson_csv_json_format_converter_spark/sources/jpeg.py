@@ -420,12 +420,14 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             if sof is not None:
                 sof_ids = [c[0] for c in comps]
                 scan_ids = [sc[0] for sc in scan_comps]
-                if scan_ids != sof_ids and set(scan_ids) == set(sof_ids):
+                if scan_ids != sof_ids and set(scan_ids) <= set(sof_ids):
                     # the decoder indexes planes positionally and
                     # color-converts assuming frame-header (Y,Cb,Cr)
-                    # order; a permuted SOS list would silently swap
-                    # channels (ids absent from SOF stay a ValueError
-                    # in the comp_q lookup below)
+                    # order; a permuted OR duplicated SOS list of known
+                    # ids would silently swap/garble channels (subset
+                    # check, not set equality: [1,1,3] must be refused
+                    # too; ids absent from SOF stay a ValueError in the
+                    # comp_q lookup below)
                     raise NotImplementedError(
                         "SOS component order differs from SOF order"
                     )
