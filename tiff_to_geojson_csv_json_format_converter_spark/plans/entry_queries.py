@@ -2159,9 +2159,15 @@ def q_multi_root_scan(spark, sf_dir):
                     rows, columns=["kind", "root_priority", "root", "path"]
                 )
 
+    # 15 fixed fixture cases -> ONE python worker via repartition(1),
+    # NOT coalesce(1): coalesce merges the 32 parallelize slices into a
+    # single task that evaluates each python-backed parent partition
+    # through its own sequential Python-runner handshake (~3.5s of pure
+    # overhead, measured); the repartition shuffle collapses them
+    # JVM-side first (~0.45s total)
     ladder = spark.createDataFrame(
         [(c,) for c in _WCS_CASES], "case string"
-    ).repartition(4).mapInPandas(
+    ).repartition(1).mapInPandas(
         wcs_kernel, "kind string, root_priority int, root string, path string"
     )
     return scan.unionByName(ladder)
