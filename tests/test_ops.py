@@ -45,6 +45,33 @@ def _py_jaccard(a: str, b: str, n: int) -> float:
 
 
 class TestDedup:
+    def test_connected_components_chain_and_islands(self, spark):
+        """A 5-chain, a triangle, and an isolated pair: min-label
+        propagation must converge to each component's min id with the
+        right sizes (the chain needs several rounds — exercises the
+        fixed-point loop, not just diameter-1 cliques)."""
+        pairs = spark.createDataFrame(
+            [(10, 11), (11, 12), (12, 13), (13, 14),   # chain of 5
+             (20, 21), (21, 22), (20, 22),             # triangle
+             (30, 31)],                                # pair
+            "doc_a long, doc_b long",
+        )
+        got = dedup.connected_components(pairs).toPandas()
+        comp = dict(zip(got["id"], got["component"]))
+        size = dict(zip(got["id"], got["cluster_size"]))
+        assert {comp[i] for i in (10, 11, 12, 13, 14)} == {10}
+        assert {comp[i] for i in (20, 21, 22)} == {20}
+        assert comp[30] == comp[31] == 30
+        assert size[14] == 5 and size[22] == 3 and size[31] == 2
+        assert len(got) == 10  # singletons never enter the pair graph
+
+    def test_connected_components_nonconvergence_raises(self, spark):
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.connected_components(chain, max_iters=2)
+
     def test_exact_dedup_finds_the_duplicate_pair(self, spark, planted_docs):
         out = dedup.exact_dedup(planted_docs).toPandas()
         dups = out[out["n_copies"] > 1]

@@ -375,3 +375,70 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return cand.withColumn("hamming", ham.cast("int")).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iters: int = 25) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS: every vertex labeled with
+    its connected component's minimum id — the step a training-data
+    dedup pipeline actually needs (pairs alone don't say which docs to
+    keep; the canonical survivor per cluster is the min-id member).
+
+    Pregel-style iterative min-label propagation: each round every
+    vertex takes min(own label, neighbors' labels) via one equi-join +
+    one groupBy; convergence when the label sum stops falling (labels
+    only ever decrease, so an unchanged sum == a fixed point, checked
+    exactly in int64). Rounds needed = graph diameter — near-dup
+    clusters are dense (diameter 1-3), so this converges in 2-4 rounds
+    where the published alternating small-star/large-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce", SOCC'14)
+    pays its constant-factor overhead; swap it in if components with
+    large diameters ever appear (a chain-shaped 10^6-vertex component
+    would need 10^6 rounds here — that shape does not arise from
+    near-dup thresholds, which produce quasi-cliques).
+
+    Each round localCheckpoints the label frame: iterative plans
+    otherwise double in depth per round and the driver's analysis time
+    dominates past ~10 rounds.
+
+    Returns (id, component, cluster_size) for every vertex that appears
+    in ``pairs`` (singleton docs never enter the pair graph; callers
+    wanting them keep-all by definition).
+    """
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).dropDuplicates().localCheckpoint(eager=False)
+    labels = edges.select(F.col("u").alias("id")).dropDuplicates() \
+                  .withColumn("label", F.col("id"))
+    prev_sum = None
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels.select(F.col("id").alias("v"),
+                                     F.col("label").alias("vlabel")), "v")
+            .groupBy("u").agg(F.min("vlabel").alias("nmin"))
+        )
+        labels = (
+            labels.join(nbr.select(F.col("u").alias("id"), "nmin"), "id", "left")
+            .select("id", F.least(
+                F.col("label"),
+                F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(F.sum("label").cast("long")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(pathological high-diameter component — use small/large-star)"
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("id", F.col("label").alias("component"),
+                F.col("cluster_size").cast("long"))
+    )

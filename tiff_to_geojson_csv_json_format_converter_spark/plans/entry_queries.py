@@ -1531,19 +1531,65 @@ _JACCARD_NOBLOCK_SQL = """
 """
 
 
-@_register("minhash_lsh_pairs", _JACCARD_NOBLOCK_SQL)
+@_register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_NOBLOCK_SQL}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    cc(doc_id, label) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.u, cc.label FROM cc JOIN edges e ON e.v = cc.doc_id
+        WHERE cc.label < e.u
+    ),
+    comp AS (SELECT doc_id, MIN(label) AS component FROM cc GROUP BY doc_id),
+    csize AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY component)
+    SELECT 'pair' AS kind, doc_a, doc_b, n_inter, n_union, jaccard_e6
+    FROM pairs
+    UNION ALL
+    SELECT 'component' AS kind, comp.doc_id AS doc_a,
+           comp.component AS doc_b, csize.cluster_size AS n_inter,
+           CAST(0 AS BIGINT) AS n_union, CAST(0 AS BIGINT) AS jaccard_e6
+    FROM comp JOIN csize USING (component)
+    """,
+)
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """Dedup/MinHash-LSH in its FULL-RECALL configuration (64 one-row
-    bands: a pair is a candidate iff ANY of 64 minhashes collide; for
-    J >= 0.3 the miss probability is (1-J)^64 <= 1.2e-10, and the exact
-    array_intersect verify makes precision 1) — so the output equals the
-    exact all-pairs Jaccard answer and the driver can hash-check it
-    against plain SQL. The operator's default (16 bands x 4 rows) is the
-    production S-curve at threshold 0.5; this entry hard-verifies the
-    signature/band/bucket/verify machinery end to end."""
+    """Dedup/MinHash-LSH + duplicate clusters, tagged union (kind).
+
+    kind='pair': MinHash-LSH in its FULL-RECALL configuration (64
+    one-row bands: a pair is a candidate iff ANY of 64 minhashes
+    collide; for J >= 0.3 the miss probability is (1-J)^64 <= 1.2e-10,
+    and the exact array_intersect verify makes precision 1) — so the
+    output equals the exact all-pairs Jaccard answer and the driver can
+    hash-check it against plain SQL. The operator's default (16 bands x
+    4 rows) is the production S-curve at threshold 0.5; this leg
+    hard-verifies the signature/band/bucket/verify machinery end to end.
+
+    kind='component': the pairs fed through
+    dedup.connected_components — every clustered doc labeled with its
+    component's min id (doc_b) and cluster size (n_inter); the oracle
+    replays the clustering as a recursive min-label closure CTE, so
+    the Pregel-style iteration is hash-checked against an independent
+    algorithm, not a code twin."""
     docs = _load(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(
+    pairs = dedup.minhash_lsh_pairs(
         docs, n=4, num_hashes=64, bands=64, threshold_e6=300_000
+    ).localCheckpoint(eager=False)
+    comps = dedup.connected_components(pairs)
+    return (
+        pairs.select(F.lit("pair").alias("kind"), "*")
+        .unionByName(comps.select(
+            F.lit("component").alias("kind"),
+            F.col("id").alias("doc_a"),
+            F.col("component").alias("doc_b"),
+            F.col("cluster_size").alias("n_inter"),
+            F.lit(0).cast("long").alias("n_union"),
+            F.lit(0).cast("long").alias("jaccard_e6"),
+        ))
     )
 
 
