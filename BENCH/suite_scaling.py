@@ -39,8 +39,10 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     # the 2 GB blocked capability proof is ~2 min of host-transfer-bound
     # work whose output this harness never reads (the table uses
-    # res['queries'] only) — and it churns GBs right before timed entries
+    # res['queries'] + res['scaled_4x'] only) — and it churns GBs right
+    # before timed entries; the wire A/B likewise isn't a scaling signal
     env.setdefault("SPARK_GRAFT_BENCH_BLOCKED", "0")
+    env.setdefault("SPARK_GRAFT_BENCH_WIRE", "0")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, timeout=3600, env=env, cwd=REPO,
@@ -61,7 +63,13 @@ def main() -> None:
     for i in range(repeats):
         for cpus in (lo, hi):
             res = run_bench(cpus, sf_dir)
-            for q, t in res["queries"].items():
+            timed = dict(res["queries"])
+            # the 4x-input variants of the multi-second queries are the
+            # entries with real scaling signal (the sf0.1 headline is
+            # majority sub-second and scheduler-bound)
+            for q, t in res.get("scaled_4x", {}).get("queries", {}).items():
+                timed[f"4x:{q}"] = t
+            for q, t in timed.items():
                 prev = best[cpus].get(q)
                 best[cpus][q] = t if prev is None else min(prev, t)
             print(f"# repeat {i} cpus={cpus}: suite {res['value']:.1f}s", file=sys.stderr)
