@@ -28,6 +28,30 @@ from pyspark.sql.types import BooleanType
 from ..functions import cells, geometry
 
 
+# worker-global parsed-ring cache for the cell-cover PIP kernel: every
+# Arrow batch sees the same handful of polygon geometries, and json
+# parse + ndarray conversion per batch is pure overhead that grows with
+# partition count (more partitions -> more batches -> more re-parses of
+# identical rings; measured ~0.5s of the sf0.1 cell_cover_join wall at
+# 32 partitions). Keyed by the raw json string; bounded by a full clear
+# at 256 entries (polygon LAYERS are broadcast-small by construction —
+# the geometry rides a broadcast join — so 256 covers real layers and
+# the clear only costs a re-parse).
+_RING_CACHE: dict[str, list] = {}
+
+
+def _parse_rings_cached(rj: str) -> list:
+    got = _RING_CACHE.get(rj)
+    if got is None:
+        import json as _json
+
+        got = [np.asarray(r, dtype=np.float64) for r in _json.loads(rj)]
+        if len(_RING_CACHE) >= 256:
+            _RING_CACHE.clear()
+        _RING_CACHE[rj] = got
+    return got
+
+
 def _rings_bbox(rings: list) -> tuple:
     """(min_lon, min_lat, max_lon, max_lat) over ALL rings — a flattened
     MultiPolygon ring list (normalize_geometry output) puts disjoint
@@ -222,8 +246,7 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
         pend = ~out
         for rj in rings_json[pend].unique():
             m = pend & (rings_json == rj).to_numpy()
-            rings = [np.asarray(r, dtype=np.float64) for r in _json.loads(rj)]
-            out[m] = geometry.points_in_polygon(x[m], y[m], rings)
+            out[m] = geometry.points_in_polygon(x[m], y[m], _parse_rings_cached(rj))
         return pd.Series(out)
 
     return (
