@@ -388,8 +388,11 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     Pregel-style iterative min-label propagation: each round every
     vertex takes min(own label, neighbors' labels) via one equi-join +
     one groupBy; convergence when the label sum stops falling (labels
-    only ever decrease, so an unchanged sum == a fixed point, checked
-    exactly in int64). Rounds needed = graph diameter — near-dup
+    only ever decrease, so an unchanged sum == a fixed point; summed
+    as DECIMAL(38,0) — a plain int64 sum wraps silently under Spark's
+    non-ANSI arithmetic for xxhash64-magnitude ids, and a wrap that
+    lands on the previous value would terminate early with wrong
+    labels). Rounds needed = graph diameter — near-dup
     clusters are dense (diameter 1-3), so this converges in 2-4 rounds
     where the published alternating small-star/large-star algorithm
     (Kiveris et al., "Connected Components in MapReduce", SOCC'14)
@@ -427,7 +430,9 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
             ).alias("label"))
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("label").cast("long")).collect()[0][0]
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
