@@ -193,6 +193,18 @@ class TestSimilarity:
                 binw[cols].reset_index(drop=True)
             )
 
+    def test_brute_topk_blocked_bit_equal_to_broadcast(self, spark):
+        """The no-driver-collect grid decomposition must reproduce the
+        broadcast baseline exactly, including tie-breaks, at a block
+        count that does not divide the corpus evenly."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cols = ["query_id", "neighbor_id", "dot_q", "cos_e6", "rank"]
+        a = similarity.brute_topk(emb, k=4).toPandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        b = similarity.brute_topk_blocked(emb, k=4, n_blocks=3, n_qbatches=2) \
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert a[cols].equals(b[cols])
+
     def test_binary_wire_refuses_nonfinite_embeddings(self, spark):
         """NaN on the binary wire must raise loudly, never cast to
         INT64_MIN garbage dots."""

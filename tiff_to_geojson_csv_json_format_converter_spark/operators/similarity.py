@@ -90,6 +90,109 @@ def brute_topk(df: DataFrame, k: int = 5, id_col: str = "vec_id",
     )
 
 
+def brute_topk_blocked(df: DataFrame, k: int = 5, id_col: str = "vec_id",
+                       vec_col: str = "embedding", scale: int = 1000,
+                       n_blocks: int = 4, n_qbatches: int | None = None) -> DataFrame:
+    """Exact self top-k WITHOUT the driver collect — the shape that
+    survives a corpus too large to broadcast (the :func:`brute_topk`
+    baseline ships the whole matrix through the driver; fine to a few
+    million rows, impossible at 10^9).
+
+    Grid decomposition (the top-k analog of
+    :func:`cosine_pairs_blocked`): queries hash into QB batches, corpus
+    into B blocks; every (batch, block) cell is one group holding
+    O(n/QB + n/B) packed rows, scored with ONE matmul; each group emits
+    only its per-query local top-k (k rows per query per block — any
+    global top-k neighbor lives in some block and is inside that
+    block's local top-k under the same (cos desc, id asc) order, so
+    the global window over the union is exact). Shuffle volume =
+    corpus x QB + queries x B of int16-packed cells; nothing transits
+    the driver; output is bit-identical to brute_topk (same quantize +
+    IEEE scoring tree; asserted in tests and by the shared driver
+    oracle)."""
+    B = max(int(n_blocks), 1)
+    QB = max(int(n_qbatches if n_qbatches is not None else n_blocks), 1)
+    packed = df.select(
+        F.col(id_col).alias("id"),
+        _pack_vec_udf(scale)(F.col(vec_col)).alias("pvec"),
+    )
+    corpus_rep = (
+        packed.withColumn("cb", F.pmod(F.xxhash64("id"), F.lit(B)).cast("int"))
+        .withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(QB - 1))))
+        .select("qb", "cb", F.lit("c").alias("side"), "id", "pvec")
+    )
+    query_rep = (
+        packed.withColumn("qb", F.pmod(F.xxhash64("id"), F.lit(QB)).cast("int"))
+        .withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .select("qb", "cb", F.lit("q").alias("side"), "id", "pvec")
+    )
+    rep = corpus_rep.unionByName(query_rep)
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["side"] == "q"]
+        cs = pdf[pdf["side"] == "c"]
+        if len(qs) == 0 or len(cs) == 0:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "dot_q": pd.Series(dtype="int64"),
+                "cos_e6": pd.Series(dtype="int64"),
+            })
+        Q = _unpack_f64(qs["pvec"])
+        C = _unpack_f64(cs["pvec"])
+        qids = qs["id"].to_numpy()
+        cids = cs["id"].to_numpy()
+        qmax = max(float(np.abs(Q).max()), float(np.abs(C).max()), 1.0)
+        if qmax * qmax * Q.shape[1] < 2.0**53:
+            qn2 = np.einsum("ij,ij->i", Q, Q)
+            cn2 = np.einsum("ij,ij->i", C, C)
+            dots_f = Q @ C.T
+            dots = np.rint(dots_f).astype(np.int64)
+        else:
+            Qi, Ci = Q.astype(np.int64), C.astype(np.int64)
+            qn2 = np.einsum("ij,ij->i", Qi, Qi).astype(np.float64)
+            cn2 = np.einsum("ij,ij->i", Ci, Ci).astype(np.float64)
+            dots = Qi @ Ci.T
+            dots_f = dots.astype(np.float64)
+        cos_e6 = np.floor(
+            dots_f / np.sqrt(qn2[:, None] * cn2[None, :]) * 1e6
+        ).astype(np.int64)
+        out = {"query_id": [], "neighbor_id": [], "dot_q": [], "cos_e6": []}
+        for r in range(len(qids)):
+            mask = cids != qids[r]
+            cand = np.flatnonzero(mask)
+            key = np.lexsort((cids[cand], -cos_e6[r, cand]))
+            sel = cand[key[:k]]
+            out["query_id"].extend([int(qids[r])] * len(sel))
+            out["neighbor_id"].extend(int(cids[j]) for j in sel)
+            out["dot_q"].extend(int(dots[r, j]) for j in sel)
+            out["cos_e6"].extend(int(cos_e6[r, j]) for j in sel)
+        return pd.DataFrame(out)
+
+    # same group-delivery pattern as cosine_pairs_blocked: repartition
+    # on the grid key + in-kernel bucketing (grouped-map would build one
+    # giant Arrow batch per cell)
+    def grid_kernel(batches):
+        frames: dict = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(["qb", "cb"], sort=False):
+                frames.setdefault(key, []).append(sub)
+        for key in list(frames):
+            chunks = frames.pop(key)
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            yield cell(pdf)
+
+    local = rep.repartition(4 * QB * B, "qb", "cb").mapInPandas(
+        grid_kernel, "query_id long, neighbor_id long, dot_q long, cos_e6 long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_e6"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "cos_e6", "rank")
+    )
+
+
 def cosine_pairs(df: DataFrame, threshold_e6: int = 950_000, id_col: str = "vec_id",
                  vec_col: str = "embedding", scale: int = 1000,
                  mode: str = "auto", broadcast_max_rows: int = 1_000_000,

@@ -1332,12 +1332,35 @@ _BRUTE_TOPK_SQL = f"""
     """
 
 
-@_register("ann_brute_topk", _BRUTE_TOPK_SQL)
+@_register(
+    "ann_brute_topk",
+    f"""
+    WITH topk AS ({_BRUTE_TOPK_SQL})
+    SELECT 'broadcast' AS mode, * FROM topk
+    UNION ALL
+    SELECT 'blocked' AS mode, * FROM topk
+    """,
+)
 def q_ann_brute_topk(spark, sf_dir):
-    """Similarity/brute-force: exact quantized-cosine top-5 per vector
-    (broadcast corpus + per-batch numpy matmul)."""
+    """Similarity/brute-force, BOTH physical strategies in one tagged
+    union checked against one exact SQL answer:
+
+    - mode='broadcast': corpus through the driver + per-batch numpy
+      matmul — the labeled baseline, right up to a few million rows;
+    - mode='blocked': brute_topk_blocked's (query-batch x corpus-block)
+      grid — local per-cell top-k + global window, no driver collect,
+      no broadcast — the 10^9-row exact-top-k path. Must be
+      bit-identical to the broadcast leg (both floor-quantize before
+      scoring and share the IEEE expression tree)."""
     emb = _load(spark, sf_dir, "embeddings")
-    return similarity.brute_topk(emb, k=5)
+    return (
+        similarity.brute_topk(emb, k=5)
+        .select(F.lit("broadcast").alias("mode"), "*")
+        .unionByName(
+            similarity.brute_topk_blocked(emb, k=5, n_blocks=4)
+            .select(F.lit("blocked").alias("mode"), "*")
+        )
+    )
 
 
 def _neardup_sql(threshold: int,
