@@ -110,6 +110,23 @@ def test_cosine_pairs_blocked_no_broadcast_no_collect(spark):
     assert "Join" not in p  # block pairing is a shuffle, not a join
 
 
+def test_brute_topk_blocked_no_broadcast_no_collect(spark):
+    """The grid-decomposed exact top-k must carry no corpus-wide
+    broadcast, cartesian, or driver collect: queries and corpus meet
+    via the (qb, cb) grid shuffle + one streamed kernel per cell,
+    then a global window."""
+    from tiff_to_geojson_csv_json_format_converter_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = similarity.brute_topk_blocked(emb, k=3, n_blocks=4)
+    p = plan_str(df)
+    assert "MapInPandas" in p  # the grid-cell kernel
+    assert "hashpartitioning(qb" in p  # cells meet via the grid shuffle
+    assert "BroadcastExchange" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" not in p  # grid pairing is a shuffle, not a join
+
+
 def test_cosine_pairs_blocked_equals_broadcast(spark):
     """Bit-identical output across physical strategies and block counts,
     including adversarial non-contiguous ids (hash blocks must not rely
