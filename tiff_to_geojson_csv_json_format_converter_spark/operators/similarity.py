@@ -112,21 +112,33 @@ def brute_topk_blocked(df: DataFrame, k: int = 5, id_col: str = "vec_id",
     oracle)."""
     B = max(int(n_blocks), 1)
     QB = max(int(n_qbatches if n_qbatches is not None else n_blocks), 1)
-    packed = df.select(
-        F.col(id_col).alias("id"),
-        _pack_vec_udf(scale)(F.col(vec_col)).alias("pvec"),
+    # ONE scan + ONE pack pass: both replica sets explode out of a
+    # single concat of (qb, cb, side) structs — two union branches
+    # would plan two independent subtrees and run the pack UDF (the
+    # most expensive pre-shuffle pass) twice over the full input
+    cb_own = F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")
+    qb_own = F.pmod(F.xxhash64(F.col(id_col)), F.lit(QB)).cast("int")
+    grid = F.concat(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(QB - 1)),
+            lambda q: F.struct(q.cast("int").alias("qb"), cb_own.alias("cb"),
+                               F.lit("c").alias("side")),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(B - 1)),
+            lambda c: F.struct(qb_own.alias("qb"), c.cast("int").alias("cb"),
+                               F.lit("q").alias("side")),
+        ),
     )
-    corpus_rep = (
-        packed.withColumn("cb", F.pmod(F.xxhash64("id"), F.lit(B)).cast("int"))
-        .withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(QB - 1))))
-        .select("qb", "cb", F.lit("c").alias("side"), "id", "pvec")
+    rep = (
+        df.select(
+            F.col(id_col).alias("id"),
+            _pack_vec_udf(scale)(F.col(vec_col)).alias("pvec"),
+            F.explode(grid).alias("g"),
+        )
+        .select(F.col("g.qb").alias("qb"), F.col("g.cb").alias("cb"),
+                F.col("g.side").alias("side"), "id", "pvec")
     )
-    query_rep = (
-        packed.withColumn("qb", F.pmod(F.xxhash64("id"), F.lit(QB)).cast("int"))
-        .withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
-        .select("qb", "cb", F.lit("q").alias("side"), "id", "pvec")
-    )
-    rep = corpus_rep.unionByName(query_rep)
 
     def cell(pdf: pd.DataFrame) -> pd.DataFrame:
         qs = pdf[pdf["side"] == "q"]
@@ -142,18 +154,7 @@ def brute_topk_blocked(df: DataFrame, k: int = 5, id_col: str = "vec_id",
         C = _unpack_f64(cs["pvec"])
         qids = qs["id"].to_numpy()
         cids = cs["id"].to_numpy()
-        qmax = max(float(np.abs(Q).max()), float(np.abs(C).max()), 1.0)
-        if qmax * qmax * Q.shape[1] < 2.0**53:
-            qn2 = np.einsum("ij,ij->i", Q, Q)
-            cn2 = np.einsum("ij,ij->i", C, C)
-            dots_f = Q @ C.T
-            dots = np.rint(dots_f).astype(np.int64)
-        else:
-            Qi, Ci = Q.astype(np.int64), C.astype(np.int64)
-            qn2 = np.einsum("ij,ij->i", Qi, Qi).astype(np.float64)
-            cn2 = np.einsum("ij,ij->i", Ci, Ci).astype(np.float64)
-            dots = Qi @ Ci.T
-            dots_f = dots.astype(np.float64)
+        dots, dots_f, qn2, cn2 = _exact_dots_norms(Q, C)
         cos_e6 = np.floor(
             dots_f / np.sqrt(qn2[:, None] * cn2[None, :]) * 1e6
         ).astype(np.int64)
@@ -169,21 +170,9 @@ def brute_topk_blocked(df: DataFrame, k: int = 5, id_col: str = "vec_id",
             out["cos_e6"].extend(int(cos_e6[r, j]) for j in sel)
         return pd.DataFrame(out)
 
-    # same group-delivery pattern as cosine_pairs_blocked: repartition
-    # on the grid key + in-kernel bucketing (grouped-map would build one
-    # giant Arrow batch per cell)
-    def grid_kernel(batches):
-        frames: dict = {}
-        for pdf in batches:
-            for key, sub in pdf.groupby(["qb", "cb"], sort=False):
-                frames.setdefault(key, []).append(sub)
-        for key in list(frames):
-            chunks = frames.pop(key)
-            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-            yield cell(pdf)
-
     local = rep.repartition(4 * QB * B, "qb", "cb").mapInPandas(
-        grid_kernel, "query_id long, neighbor_id long, dot_q long, cos_e6 long"
+        _bucketed_kernel(["qb", "cb"], cell),
+        "query_id long, neighbor_id long, dot_q long, cos_e6 long",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_e6"), F.asc("neighbor_id"))
     return (
@@ -374,6 +363,59 @@ def _unpack_f64(col) -> np.ndarray:
     return out
 
 
+def _exact_dots_norms(A: np.ndarray, Bm: np.ndarray, rowwise: bool = False):
+    """The guarded exact scoring block shared by every blocked/binary
+    kernel (cell grid, re-rank wire, block-pair Gram): quantized-int
+    dots + squared norms, via float64 BLAS while every product and
+    partial sum fits the 53-bit integer window (qmax^2 * dim < 2^53 —
+    then einsum/matmul and rint are exact), falling back to int64
+    otherwise. ONE implementation so the bit-equality contract between
+    strategies cannot drift. ``rowwise`` scores A[i]·Bm[i] (paired
+    rows); otherwise the full A @ Bm.T Gram. Passing the SAME array as
+    both sides reuses its norms in the fallback path."""
+    qmax = max(float(np.abs(A).max()), float(np.abs(Bm).max()), 1.0)
+    if qmax * qmax * A.shape[1] < 2.0**53:
+        na = np.einsum("ij,ij->i", A, A)
+        nb = na if Bm is A else np.einsum("ij,ij->i", Bm, Bm)
+        dots_f = np.einsum("ij,ij->i", A, Bm) if rowwise else A @ Bm.T
+        dots = np.rint(dots_f).astype(np.int64)
+    else:
+        Ai = A.astype(np.int64)
+        Bi = Ai if Bm is A else Bm.astype(np.int64)
+        na = np.einsum("ij,ij->i", Ai, Ai).astype(np.float64)
+        nb = na if Bm is A else np.einsum("ij,ij->i", Bi, Bi).astype(np.float64)
+        dots = np.einsum("ij,ij->i", Ai, Bi) if rowwise else Ai @ Bi.T
+        dots_f = dots.astype(np.float64)
+    return dots, dots_f, na, nb
+
+
+def _bucketed_kernel(keys: list, cell_fn):
+    """Group delivery via repartition-on-key + mapInPandas with
+    in-kernel bucketing, NOT groupBy().applyInPandas(): grouped-map
+    materializes each group as one giant Arrow batch (it honors only
+    maxRecordsPerBatch), which for GB-scale groups costs a fresh
+    GB-sized JVM buffer per group — measured 2-5x slower than the
+    streamed 4 MB batches mapInPandas uses for the same bytes.
+    Hash-repartition guarantees every key group lands whole in exactly
+    one partition; collisions can co-locate several groups in one task,
+    so the kernel buffers only PACKED rows (object references) and
+    releases each group after processing — per-task peak memory is the
+    partition's packed bytes + ONE unpacked group, not every
+    co-located group's matrices at once."""
+
+    def kernel(batches):
+        frames: dict = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(keys, sort=False):
+                frames.setdefault(key, []).append(sub)
+        for key in list(frames):
+            chunks = frames.pop(key)  # release packed rows as we go
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            yield cell_fn(pdf)
+
+    return kernel
+
+
 def exact_rerank_topk(df: DataFrame, cand: DataFrame, k: int,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       scale: int = 1000, wire: str = "auto",
@@ -421,19 +463,7 @@ def exact_rerank_topk(df: DataFrame, cand: DataFrame, k: int,
                     continue
                 A = _unpack_f64(pdf["pa"])
                 Bm = _unpack_f64(pdf["pb"])
-                qmax = max(float(np.abs(A).max()), float(np.abs(Bm).max()), 1.0)
-                if qmax * qmax * A.shape[1] < 2.0**53:
-                    na = np.einsum("ij,ij->i", A, A)
-                    nb = np.einsum("ij,ij->i", Bm, Bm)
-                    dots_f = np.einsum("ij,ij->i", A, Bm)
-                    dots = np.rint(dots_f).astype(np.int64)
-                else:  # guarded exact-int fallback past the f64 window
-                    Ai = A.astype(np.int64)
-                    Bi = Bm.astype(np.int64)
-                    na = np.einsum("ij,ij->i", Ai, Ai).astype(np.float64)
-                    nb = np.einsum("ij,ij->i", Bi, Bi).astype(np.float64)
-                    dots = np.einsum("ij,ij->i", Ai, Bi)
-                    dots_f = dots.astype(np.float64)
+                dots, dots_f, na, nb = _exact_dots_norms(A, Bm, rowwise=True)
                 cos_e6 = np.floor(dots_f / np.sqrt(na * nb) * 1e6).astype(np.int64)
                 yield pd.DataFrame({
                     "query_id": pdf["query_id"].to_numpy().astype(np.int64),
@@ -545,24 +575,10 @@ def cosine_pairs_blocked(df: DataFrame, threshold_e6: int = 950_000,
             return pd.DataFrame({c: pd.Series(dtype="int64") for c in out_cols})
         A = unpack_f64(a["vec"])
         Bm = A if diag else unpack_f64(b["vec"])
-        # norms + Gram products in f64: exact while every partial fits in
-        # the 53-bit integer window (|q|<=scale*|v|max; checked below),
-        # with the int64 scalar loop as the guarded fallback
-        qmax = max(float(np.abs(A).max()), float(np.abs(Bm).max()), 1.0)
-        exact_f64 = qmax * qmax * A.shape[1] < 2.0**53
-        if exact_f64:
-            na = np.einsum("ij,ij->i", A, A)
-            nb = na if diag else np.einsum("ij,ij->i", Bm, Bm)
-            dots_f = A @ Bm.T
-            dots = np.rint(dots_f).astype(np.int64)
-        else:
-            Ai = A.astype(np.int64)
-            Bi = Ai if diag else Bm.astype(np.int64)
-            # exact int64 norms, then the oracle's CAST(... AS DOUBLE)
-            na = np.einsum("ij,ij->i", Ai, Ai).astype(np.float64)
-            nb = na if diag else np.einsum("ij,ij->i", Bi, Bi).astype(np.float64)
-            dots = Ai @ Bi.T
-            dots_f = dots.astype(np.float64)
+        # norms + Gram products via the shared guarded scorer (f64 BLAS
+        # inside the 53-bit window, int64 fallback past it; passing the
+        # same array twice on the diagonal reuses its norms)
+        dots, dots_f, na, nb = _exact_dots_norms(A, Bm)
         ida = a["id"].to_numpy()
         idb = b["id"].to_numpy()
         # identical IEEE expression tree to the broadcast path / SQL oracle:
@@ -583,34 +599,14 @@ def cosine_pairs_blocked(df: DataFrame, threshold_e6: int = 950_000,
             "cos_e6": cos_e6[r, c],
         })
 
-    # group delivery via repartition-on-key + mapInPandas with in-kernel
-    # bucketing, NOT groupBy().applyInPandas(): grouped-map materializes
-    # each group as one giant Arrow batch (it honors only
-    # maxRecordsPerBatch), which for GB-scale groups costs a fresh
-    # GB-sized JVM buffer per group — measured 2-5x slower than the
-    # streamed 4 MB batches mapInPandas uses for the same bytes.
-    # Hash-repartition guarantees every (bi, bj) group lands whole in
-    # exactly one partition. Hash collisions can co-locate several
-    # groups in one task, so (a) 4x more partitions than groups keeps
-    # the expected worst task at ~2 groups, and (b) the kernel buffers
-    # only PACKED rows (int16-tagged blobs, object references) and
-    # releases each group after processing — per-task peak memory is
-    # the partition's packed bytes + ONE unpacked f64 block pair, not
-    # every co-located group's matrices at once.
+    # group delivery via _bucketed_kernel (see its docstring for the
+    # grouped-map-vs-mapInPandas memory discipline); 4x more partitions
+    # than groups keeps the expected worst hash-collision task at ~2
+    # co-located groups
     n_groups = B * (B + 1) // 2
-
-    def part_kernel(batches):
-        frames: dict = {}
-        for pdf in batches:
-            for key, sub in pdf.groupby(["bi", "bj"], sort=False):
-                frames.setdefault(key, []).append(sub)
-        for key in list(frames):
-            chunks = frames.pop(key)  # release packed rows as we go
-            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-            yield block_pair(pdf)
-
     return rep.repartition(4 * n_groups, "bi", "bj").mapInPandas(
-        part_kernel, "id_a long, id_b long, dot_q long, cos_e6 long"
+        _bucketed_kernel(["bi", "bj"], block_pair),
+        "id_a long, id_b long, dot_q long, cos_e6 long",
     )
 
 
