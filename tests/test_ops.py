@@ -72,6 +72,39 @@ class TestDedup:
         with pytest.raises(RuntimeError, match="did not converge"):
             dedup.connected_components(chain, max_iters=2)
 
+    def test_connected_components_doubling_beats_diameter(self, spark):
+        """Pointer doubling: a 33-chain (diameter 32) must converge in
+        far fewer than 32 rounds — 6 label rounds + 1 confirmation is
+        enough under the doubling recurrence (naive min-neighbor
+        propagation would raise here)."""
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(32)], "doc_a long, doc_b long"
+        )
+        got = dedup.connected_components(chain, max_iters=7).toPandas()
+        assert set(got["component"]) == {0} and len(got) == 33
+
+    def test_keep_list_decisions(self, spark):
+        """keep_list over clusters {10..12}, {20,21} plus singletons 5
+        and 99: min-id member kept, others dropped pointing at it,
+        singletons kept pointing at themselves."""
+        pairs = spark.createDataFrame(
+            [(10, 11), (11, 12), (20, 21)], "doc_a long, doc_b long"
+        )
+        docs = spark.createDataFrame(
+            [(i,) for i in (5, 10, 11, 12, 20, 21, 99)], "doc_id long"
+        )
+        got = dedup.keep_list(docs, pairs).toPandas()
+        dec = {r.doc_id: (r.survivor, r.keep) for r in got.itertuples()}
+        assert dec == {
+            5: (5, True), 10: (10, True), 11: (10, False), 12: (10, False),
+            20: (20, True), 21: (20, False), 99: (99, True),
+        }
+
+    def test_keep_list_requires_an_input(self, spark):
+        docs = spark.createDataFrame([(1,)], "doc_id long")
+        with pytest.raises(ValueError, match="pairs.*components"):
+            dedup.keep_list(docs)
+
     def test_exact_dedup_finds_the_duplicate_pair(self, spark, planted_docs):
         out = dedup.exact_dedup(planted_docs).toPandas()
         dups = out[out["n_copies"] > 1]

@@ -387,19 +387,23 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
 
     Pregel-style iterative min-label propagation: each round every
     vertex takes min(own label, neighbors' labels) via one equi-join +
-    one groupBy; convergence when the label sum stops falling (labels
-    only ever decrease, so an unchanged sum == a fixed point; summed
-    as DECIMAL(38,0) — a plain int64 sum wraps silently under Spark's
-    non-ANSI arithmetic for xxhash64-magnitude ids, and a wrap that
-    lands on the previous value would terminate early with wrong
-    labels). Rounds needed = graph diameter — near-dup
-    clusters are dense (diameter 1-3), so this converges in 2-4 rounds
-    where the published alternating small-star/large-star algorithm
-    (Kiveris et al., "Connected Components in MapReduce", SOCC'14)
-    pays its constant-factor overhead; swap it in if components with
-    large diameters ever appear (a chain-shaped 10^6-vertex component
-    would need 10^6 rounds here — that shape does not arise from
-    near-dup thresholds, which produce quasi-cliques).
+    one groupBy, followed by one pointer-doubling hop (label <-
+    label(label): every label value is itself a vertex id, so a self
+    equi-join shortcuts each vertex to its current root's label);
+    convergence when the label sum stops falling (labels only ever
+    decrease under both steps, so an unchanged sum == a fixed point;
+    summed as DECIMAL(38,0) — a plain int64 sum wraps silently under
+    Spark's non-ANSI arithmetic for xxhash64-magnitude ids, and a wrap
+    that lands on the previous value would terminate early with wrong
+    labels). The doubling hop makes rounds O(log diameter) — the
+    reachable-label distance better-than-doubles per round — so the
+    ``max_iters`` guard (2^25-diameter component) is unreachable for
+    any physical input; near-dup clusters are quasi-cliques (diameter
+    1-3) and still converge in 2-4 rounds, now paying one extra cheap
+    equi-join each. The published alternating small-star/large-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce",
+    SOCC'14) remains the documented swap-in if per-round shuffle volume
+    on the edge frame ever dominates.
 
     Each round localCheckpoints the label frame: iterative plans
     otherwise double in depth per round and the driver's analysis time
@@ -422,11 +426,24 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                                      F.col("label").alias("vlabel")), "v")
             .groupBy("u").agg(F.min("vlabel").alias("nmin"))
         )
-        labels = (
+        stepped = (
             labels.join(nbr.select(F.col("u").alias("id"), "nmin"), "id", "left")
             .select("id", F.least(
                 F.col("label"),
                 F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"))
+        )
+        # pointer doubling: label <- label(label). Every label IS a
+        # vertex id present in `stepped`, so the left join always hits;
+        # kept left + coalesce so a (impossible) miss degrades, never
+        # drops rows.
+        lbl2 = stepped.select(F.col("id").alias("lbl_id"),
+                              F.col("label").alias("lbl2"))
+        labels = (
+            stepped.join(lbl2, stepped["label"] == lbl2["lbl_id"], "left")
+            .select("id", F.least(
+                F.col("label"),
+                F.coalesce(F.col("lbl2"), F.col("label"))
             ).alias("label"))
             .localCheckpoint(eager=False)
         )
@@ -446,4 +463,42 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         labels.join(sizes, "label")
         .select("id", F.col("label").alias("component"),
                 F.col("cluster_size").cast("long"))
+    )
+
+
+def keep_list(docs: DataFrame, pairs: DataFrame | None = None, *,
+              components: DataFrame | None = None, id_col: str = "doc_id",
+              max_iters: int = 25) -> DataFrame:
+    """The end-to-end dedup deliverable: a keep/drop decision for EVERY
+    document. Near-dup pairs -> connected components -> survivor
+    selection: each cluster keeps its minimum-id member, every other
+    member is dropped and points at the survivor it duplicates;
+    documents that never entered the pair graph are singletons and kept.
+
+    Pass either ``pairs`` (clusters are computed via
+    :func:`connected_components`, forwarding ``max_iters``) or a
+    precomputed ``components`` frame (id, component, ...) to reuse one
+    clustering across several consumers.
+
+    Returns (doc_id, survivor, keep): ``survivor`` is the retained
+    min-id cluster member (own id for kept docs), ``keep`` is the
+    boolean decision. The corpus-side step is one equi-join of the full
+    document table against the (small) clustered-vertex frame — the
+    10^12-row table is never shuffled beyond that join's own exchange,
+    and the drop-list consumer is a simple ``filter(~keep)``.
+    """
+    if components is None:
+        if pairs is None:
+            raise ValueError("keep_list needs `pairs` or `components`")
+        components = connected_components(pairs, max_iters=max_iters)
+    comp = components.select(F.col("id").alias(id_col),
+                             F.col("component").alias("__survivor"))
+    survivor = F.coalesce(F.col("__survivor"), F.col(id_col))
+    return (
+        docs.select(id_col).join(comp, id_col, "left")
+        .select(
+            id_col,
+            survivor.alias("survivor"),
+            (survivor == F.col(id_col)).alias("keep"),
+        )
     )

@@ -1578,6 +1578,14 @@ _JACCARD_NOBLOCK_SQL = """
            comp.component AS doc_b, csize.cluster_size AS n_inter,
            CAST(0 AS BIGINT) AS n_union, CAST(0 AS BIGINT) AS jaccard_e6
     FROM comp JOIN csize USING (component)
+    UNION ALL
+    SELECT 'keeplist' AS kind, d.doc_id AS doc_a,
+           COALESCE(comp.component, d.doc_id) AS doc_b,
+           CAST(CASE WHEN comp.component IS NULL
+                       OR comp.component = d.doc_id
+                THEN 1 ELSE 0 END AS BIGINT) AS n_inter,
+           CAST(0 AS BIGINT) AS n_union, CAST(0 AS BIGINT) AS jaccard_e6
+    FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
     """,
 )
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -1597,12 +1605,19 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     component's min id (doc_b) and cluster size (n_inter); the oracle
     replays the clustering as a recursive min-label closure CTE, so
     the Pregel-style iteration is hash-checked against an independent
-    algorithm, not a code twin."""
+    algorithm, not a code twin.
+
+    kind='keeplist': dedup.keep_list — the end-to-end deliverable a
+    training-data pipeline consumes: EVERY document decided keep
+    (n_inter=1) or drop (0), doc_b = the surviving min-id cluster
+    member (own id for singletons and survivors). The oracle is the
+    same component CTE left-joined back to the full documents table."""
     docs = _load(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(
         docs, n=4, num_hashes=64, bands=64, threshold_e6=300_000
     ).localCheckpoint(eager=False)
-    comps = dedup.connected_components(pairs)
+    comps = dedup.connected_components(pairs).localCheckpoint(eager=False)
+    keeps = dedup.keep_list(docs, components=comps)
     return (
         pairs.select(F.lit("pair").alias("kind"), "*")
         .unionByName(comps.select(
@@ -1610,6 +1625,14 @@ def q_minhash_lsh_pairs(spark, sf_dir):
             F.col("id").alias("doc_a"),
             F.col("component").alias("doc_b"),
             F.col("cluster_size").alias("n_inter"),
+            F.lit(0).cast("long").alias("n_union"),
+            F.lit(0).cast("long").alias("jaccard_e6"),
+        ))
+        .unionByName(keeps.select(
+            F.lit("keeplist").alias("kind"),
+            F.col("doc_id").alias("doc_a"),
+            F.col("survivor").alias("doc_b"),
+            F.col("keep").cast("long").alias("n_inter"),
             F.lit(0).cast("long").alias("n_union"),
             F.lit(0).cast("long").alias("jaccard_e6"),
         ))
@@ -2177,6 +2200,15 @@ _WCS_LADDER_VALUES_SQL = """
     FROM capped WHERE rn <= 8
     ORDER BY root_priority, path LIMIT 20)
     UNION ALL
+    (SELECT 'cap5' AS kind, CAST(root_priority AS INT) AS root_priority,
+            root, path
+     FROM hits ORDER BY root_priority, path LIMIT 5)
+    UNION ALL
+    (SELECT 'cap2' AS kind, CAST(root_priority AS INT) AS root_priority,
+            root, path
+     FROM hits WHERE path LIKE '%.tif'
+     ORDER BY root_priority, path LIMIT 2)
+    UNION ALL
     SELECT kind, CAST(root_priority AS INT) AS root_priority, root, path
     FROM {_WCS_LADDER_VALUES_SQL}
     """,
@@ -2190,6 +2222,15 @@ def q_multi_root_scan(spark, sf_dir):
     does not exist and contributes nothing, files matching several
     patterns dedupe, and both caps are deterministic (sorted before
     the head — the reference's unordered set()[:5] made reproducible).
+
+    kind='cap5'/'cap2': the C3 file-count limit as its own contract
+    (test2.py:89 ``[:5]``, test.py:540 analyze-first-2 ``[:2]``): a
+    global head cap with NO per-root cap, over the full pattern ladder
+    (cap5, the reference's default latency cap) and over the single
+    '*.tif' pattern (cap2, the analyze-preview path). The reference
+    slices an unordered ``set()``; the engine sorts by (root_priority,
+    path) first so which files survive is deterministic — Spark executes
+    orderBy+limit as a TakeOrdered, no full sort.
 
     kind='url'/'classify'/'ladder'/'resolve': every offline decision of
     the A5 WCS/WMS fetch ladder (sources/wcs.py; test2.py:286-992,
@@ -2218,6 +2259,16 @@ def q_multi_root_scan(spark, sf_dir):
         cap=20,
     ).select(F.lit("scan").alias("kind"), "root_priority", "root", "path")
 
+    # C3 file-count limit as its own rows: global cap only (default 5 =
+    # the reference's [:5]) and the analyze-preview [:2] over one pattern
+    mr_roots = ["src3", "src1", "no_such_root", "src5"]
+    cap5 = multiroot.multi_root_scan(
+        cat, roots=mr_roots, patterns=["*.tif", "*.tiff", "*slope*.tif*"],
+    ).select(F.lit("cap5").alias("kind"), "root_priority", "root", "path")
+    cap2 = multiroot.multi_root_scan(
+        cat, roots=mr_roots, patterns=["*.tif"], cap=2,
+    ).select(F.lit("cap2").alias("kind"), "root_priority", "root", "path")
+
     def wcs_kernel(batches):
         for pdf in batches:
             rows = []
@@ -2239,7 +2290,7 @@ def q_multi_root_scan(spark, sf_dir):
     ).repartition(1).mapInPandas(
         wcs_kernel, "kind string, root_priority int, root string, path string"
     )
-    return scan.unionByName(ladder)
+    return scan.unionByName(cap5).unionByName(cap2).unionByName(ladder)
 
 
 # ---------------------------------------------------------------------------
