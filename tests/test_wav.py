@@ -179,7 +179,67 @@ class TestAdpcm:
                 tags.add(struct.unpack("<H", bytes(buf[20:22]))[0])
                 samples, _ = wav.decode_wav(bytes(buf))
                 assert samples.dtype == np.int16
-        assert tags == {1, 17}  # PCM16 and IMA ADPCM both present
+        assert tags == {1, 7, 17}  # PCM16, mu-law, IMA ADPCM all present
+
+    def test_stereo_group_misaligned_block_align_raises(self):
+        """Channel-even but non-4-byte-group block_align (e.g. 20) must
+        be a descriptive ValueError, not a numpy broadcast error."""
+        s = _smooth(600, 2, seed=8)
+        buf = bytearray(wav.encode_wav_adpcm(s))
+        fmt_pos = buf.index(b"fmt ") + 8
+        # block_align field (offset 12 into fmt) -> 20; shrink data to
+        # whole 20-byte blocks so the size check passes first
+        buf[fmt_pos + 12:fmt_pos + 14] = struct.pack("<H", 20)
+        data_pos = buf.index(b"data")
+        (dlen,) = struct.unpack("<I", buf[data_pos + 4:data_pos + 8])
+        keep = (dlen // 20) * 20
+        del buf[data_pos + 8 + keep:data_pos + 8 + dlen]
+        buf[data_pos + 4:data_pos + 8] = struct.pack("<I", keep)
+        buf[4:8] = struct.pack("<I", len(buf) - 8)
+        with pytest.raises(ValueError, match="nibble group"):
+            wav.decode_wav(bytes(buf))
+
+
+class TestMulaw:
+    def test_code_identity_all_256(self):
+        """encode(decode(u)) == u for every code except 0x7F (negative
+        zero), which decodes to 0 and re-encodes to the canonical
+        positive-zero 0xFF — the standard G.711 degeneracy."""
+        u = np.arange(256, dtype=np.uint8)
+        re = wav.mulaw_encode_i16(wav.mulaw_decode_u8(u))
+        assert (re != u).sum() == 1 and re[127] == 0xFF
+
+    @pytest.mark.parametrize("ch", [1, 2])
+    def test_roundtrip_snr_and_shape(self, ch):
+        s = _smooth(3000, ch, seed=11)
+        out, sr = wav.decode_wav(wav.encode_wav_mulaw(s, 8000))
+        assert sr == 8000 and out.dtype == np.int16 and out.shape == s.shape
+        num = float((s.astype(np.float64) ** 2).mean())
+        err = float(((out.astype(np.float64) - s) ** 2).mean())
+        # mu-law design point: ~38 dB SNR at near-full-scale signals
+        assert 10 * np.log10(max(num, 1.0) / max(err, 1e-9)) >= 30.0
+
+    def test_quantization_is_monotone_and_signed(self):
+        vals = np.array([-32768, -12345, -1, 0, 1, 500, 32767], dtype=np.int16)
+        dec = wav.mulaw_decode_u8(wav.mulaw_encode_i16(vals)).astype(np.int64)
+        assert np.all(np.diff(dec) >= 0)
+        assert dec[0] < 0 < dec[-1] and abs(dec[3]) <= 4
+
+    def test_ragged_data_chunk_raises(self):
+        s = _smooth(100, 2, seed=12)
+        buf = bytearray(wav.encode_wav_mulaw(s))
+        data_pos = buf.index(b"data")
+        (dlen,) = struct.unpack("<I", buf[data_pos + 4:data_pos + 8])
+        del buf[data_pos + 8 + dlen - 1]  # odd byte count, 2 channels
+        buf[data_pos + 4:data_pos + 8] = struct.pack("<I", dlen - 1)
+        buf[4:8] = struct.pack("<I", len(buf) - 8)
+        with pytest.raises(ValueError, match="whole number of frames"):
+            wav.decode_wav(bytes(buf))
+
+    def test_decode_media_handles_mulaw_rows(self):
+        s = _smooth(700, 2, seed=13)
+        got = multimodal.decode_media(wav.encode_wav_mulaw(s), "audio", "wav")
+        assert got.shape == (700, 2) and got.dtype == np.uint8
 
 
 def test_trailing_tagger_bytes_after_riff_payload_ignored():

@@ -179,6 +179,10 @@ def _sample_frames_row(buf: bytes, fmt: str, n_frames, every_n: int) -> list[tup
     media must not kill a 100 TB job): a row whose bytes fail the
     container parse yields the single sentinel frame (-1, b"") — visible
     in the output, never a task failure."""
+    # one clamp for BOTH branches: every_n < 1 means "every frame"
+    # (previously the stub path clamped but the AVI path collapsed the
+    # same argument to the poison pill — same input, two contracts)
+    every_n = max(int(every_n), 1)
     if fmt == "avi":
         from ..sources import avi as _avi
 
@@ -195,7 +199,7 @@ def _sample_frames_row(buf: bytes, fmt: str, n_frames, every_n: int) -> list[tup
         return [(-1, b"")]
     frame_len = max(1, len(buf) // max(n, 1))
     return [(idx, buf[idx * frame_len:(idx + 1) * frame_len])
-            for idx in range(0, n, max(every_n, 1))]
+            for idx in range(0, n, every_n)]
 
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
@@ -223,8 +227,8 @@ def synth_media_rows(n: int = 64) -> list[tuple]:
     content across all five scanline filters — round-tripped exactly),
     REAL baseline-JPEG bytes (sources/jpeg.py, smooth deterministic
     content), and the ``fake/gray8`` plumbing format; audio rows are
-    REAL RIFF/WAV bytes (sources/wav.py, alternating mono/stereo, every
-    third row IMA-ADPCM-compressed); video rows rotate through
+    REAL RIFF/WAV bytes (sources/wav.py, alternating mono/stereo,
+    rotating PCM16 / G.711 µ-law / IMA ADPCM); video rows rotate through
     REAL uncompressed-AVI clips, REAL MJPEG-in-AVI clips (sources/avi.py
     + sources/jpeg.py, container-parsed frame sampling), and the ``mp4``
     stub format (poison-pill path — codecs like H.264 need ffmpeg,
@@ -262,6 +266,10 @@ def synth_media_rows(n: int = 64) -> list[tuple]:
                 # codec (IMA ADPCM, format 17) so the digests exercise
                 # a lossy-decode audio path like MJPEG does for video
                 buf = _wav.encode_wav_adpcm(samples, 16000)
+            elif (i // 3) % 3 == 1:
+                # and another third rides G.711 mu-law (format 7) — the
+                # elementwise companded codec
+                buf = _wav.encode_wav_mulaw(samples, 16000)
             else:
                 buf = _wav.encode_wav(samples, 16000)
         elif mt == "video" and (i // 3) % 3 != 2:

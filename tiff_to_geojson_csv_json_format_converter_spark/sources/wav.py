@@ -16,6 +16,9 @@ Scope (raises otherwise, keeping the poison-pill path honest):
   engine-portable. Blocks are independent (each block header carries
   the predictor + step index), which is also the right distributed
   shape: a 100 TB audio corpus splits at block boundaries.
+- format 7 (G.711 µ-law, 8-bit): the telephony companding codec — 2x
+  smaller than PCM16, pure elementwise integer math (no inter-sample
+  state at all), so it splits anywhere, not just at block boundaries.
 - format 3 (IEEE float) and everything else raise NotImplementedError;
   structurally broken bytes (bad magic, truncated chunks, odd data
   size) raise ValueError — corrupt media must be DETECTED, not
@@ -201,6 +204,14 @@ def _decode_adpcm(data: bytes, ch: int, block_align: int,
     per_ch_body = (block_align - 4 * ch) // ch
     if per_ch_body * ch + 4 * ch != block_align:
         raise ValueError(f"ADPCM block_align {block_align} not channel-even")
+    if ch == 2 and per_ch_body % 4 != 0:
+        # stereo bodies interleave in 4-byte nibble groups per the IMA
+        # layout; a channel-even but non-group-aligned block_align (e.g.
+        # 20) would otherwise surface as an opaque numpy broadcast error
+        raise ValueError(
+            f"stereo ADPCM block_align {block_align} not a whole number "
+            "of 4-byte nibble groups per channel"
+        )
     got_spb = 1 + per_ch_body * 2
     if spb and spb != got_spb:
         raise ValueError(
@@ -234,6 +245,62 @@ def _decode_adpcm(data: bytes, ch: int, block_align: int,
             )
         out = out[:n_frames]
     return out
+
+
+# --- µ-law (G.711) — format 7 ------------------------------------------
+# ITU-T Recommendation G.711 (1988), the public telephony companding
+# spec: 8 bits/sample, log-segmented. Both directions are pure integer
+# numpy (no loops — unlike ADPCM there is no inter-sample recurrence),
+# and encode(decode(u)) == u for all 256 codes (asserted in tests),
+# so the codec is exact and engine-portable.
+
+_MULAW_BIAS = 0x84  # 132
+_MULAW_CLIP = 32635
+
+
+def mulaw_decode_u8(codes: np.ndarray) -> np.ndarray:
+    """µ-law bytes -> int16 linear PCM (elementwise)."""
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int32)
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def mulaw_encode_i16(samples: np.ndarray) -> np.ndarray:
+    """int16 linear PCM -> µ-law bytes (elementwise)."""
+    s = np.asarray(samples, dtype=np.int32)
+    sign = np.where(s < 0, 0x80, 0)
+    mag = np.minimum(np.abs(s), _MULAW_CLIP) + _MULAW_BIAS
+    # exponent = bit_length(mag) - 8 clipped to [0,7]; frexp's exponent
+    # IS bit_length for positive ints (mag >= BIAS > 0, < 2^16 — exact
+    # in float64)
+    _, e2 = np.frexp(mag.astype(np.float64))
+    exp = np.clip(e2 - 8, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def encode_wav_mulaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """RIFF/WAVE writer for G.711 µ-law (format 7): int16 samples in,
+    8-bit companded interleaved data out, with the customary 'fact'
+    frame count for a non-PCM format."""
+    s = np.asarray(samples)
+    if not (s.dtype.kind == "i" and s.dtype.itemsize == 2):
+        raise ValueError(f"unsupported dtype {s.dtype} (int16 PCM only)")
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2:
+        raise ValueError(f"unsupported shape {samples.shape}")
+    n, ch = s.shape
+    data = mulaw_encode_i16(s).tobytes()  # row-major = interleaved
+    fmt = struct.pack("<HHIIHHH", 7, ch, sample_rate, sample_rate * ch,
+                      ch, 8, 0)
+    fact = struct.pack("<I", n)
+    body = (b"WAVE" + riff.chunk(b"fmt ", fmt) + riff.chunk(b"fact", fact)
+            + riff.chunk(b"data", data))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
@@ -271,9 +338,18 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         if len(fmt_extra) >= 4:
             (spb,) = struct.unpack("<H", fmt_extra[2:4])
         return _decode_adpcm(data, ch, align, spb, n_frames), int(sample_rate)
+    if audio_format == 7:
+        if bits != 8:
+            raise NotImplementedError(f"{bits}-bit mu-law (8-bit only)")
+        if len(data) % ch != 0:
+            raise ValueError(
+                f"data size {len(data)} not a whole number of frames"
+            )
+        codes = np.frombuffer(data, dtype=np.uint8).reshape(-1, ch)
+        return mulaw_decode_u8(codes), int(sample_rate)
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
-            f"only integer PCM16 and IMA ADPCM supported "
+            f"only integer PCM16, IMA ADPCM and mu-law supported "
             f"(got format {audio_format}, {bits}-bit)"
         )
     if len(data) % (2 * ch) != 0:
