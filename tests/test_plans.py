@@ -186,6 +186,27 @@ def test_cosine_pairs_blocked_wide_width_wire(spark):
     assert want and got == want
 
 
+def test_ann_lsh_wire_tags_plan_the_declared_wire(spark):
+    """The driver's ann_lsh_topk union must really PLAN both wires:
+    the dim-64 leg scores JVM-side (zip_with aggregate, no Python in
+    the re-rank), the dim-192 leg rides the binary wire (packed-blob
+    Arrow scorer — no zip_with anywhere in its plan)."""
+    from tiff_to_geojson_csv_json_format_converter_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    narrow = plan_str(similarity.lsh_topk(emb, k=5))
+    assert "zip_with" in narrow  # array wire: JVM lambda scoring
+    wide_vec = F.concat(
+        F.transform("embedding", lambda v: v.cast("double")),
+        F.transform("embedding", lambda v: -v.cast("double")),
+        F.transform("embedding", lambda v: v.cast("double") * F.lit(0.5)),
+    )
+    wide = emb.select("vec_id", wide_vec.alias("embedding"))
+    wplan = plan_str(similarity.lsh_topk(wide, k=5, dim=192))
+    assert "zip_with" not in wplan  # binary wire: no per-element lambda
+    assert wplan.count("MapInPandas") >= 2  # bucket kernel + Arrow scorer
+
+
 def test_cosine_pairs_auto_routes_high_threshold_through_lsh(spark):
     """mode='auto' at near-dup thresholds (>= 0.9) must route through
     LSH candidates + exact verify: equi-joins on (table, bucket), no

@@ -1712,7 +1712,20 @@ def q_doc_fingerprint(spark, sf_dir):
     return text.with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
-def _lsh_topk_sql(k: int = 5, n_tables: int = 4, n_planes: int = 16, dim: int = 64) -> str:
+# dim-192 widening of the dim-64 embeddings, exact in IEEE doubles in
+# both engines (negate and *0.5 are exact), so the wide-wire leg below
+# needs no new data: qv_wide = floor-quantize(concat(v, -v, v/2))
+_QVEC_WIDE_SQL = (
+    "list_transform(list_concat(list_concat("
+    "list_transform(embedding, v -> CAST(v AS DOUBLE)), "
+    "list_transform(embedding, v -> -CAST(v AS DOUBLE))), "
+    "list_transform(embedding, v -> CAST(v AS DOUBLE) * 0.5e0)), "
+    "v -> CAST(FLOOR(v * 1000.0) AS BIGINT))"
+)
+
+
+def _lsh_topk_sql(k: int = 5, n_tables: int = 4, n_planes: int = 16,
+                  dim: int = 64, qv_sql: str = _QVEC_SQL) -> str:
     """Full SQL replay of the LSH-ANN algorithm: the hyperplanes are
     seeded and integer-quantized (similarity.lsh_planes_int), the sign
     test and the cosine re-rank are exact integer/IEEE-identical
@@ -1729,7 +1742,7 @@ def _lsh_topk_sql(k: int = 5, n_tables: int = 4, n_planes: int = 16, dim: int = 
         for j in range(n_planes)
     )
     return f"""
-    WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+    WITH q AS (SELECT vec_id, {qv_sql} AS qv FROM embeddings),
     planes(t, j, p) AS (VALUES {vals}),
     sig AS (
         SELECT q.vec_id, planes.t,
@@ -1765,14 +1778,44 @@ def _lsh_topk_sql(k: int = 5, n_tables: int = 4, n_planes: int = 16, dim: int = 
     """
 
 
-@_register("ann_lsh_topk", _lsh_topk_sql())
+@_register(
+    "ann_lsh_topk",
+    f"""
+    SELECT 'd64' AS wire_tag, * FROM ({_lsh_topk_sql()})
+    UNION ALL
+    SELECT 'd192' AS wire_tag, * FROM (
+        {_lsh_topk_sql(dim=192, qv_sql=_QVEC_WIDE_SQL)})
+    """,
+)
 def q_ann_lsh_topk(spark, sf_dir):
-    """Similarity/LSH: random-hyperplane buckets -> exact re-rank. The
-    planes are integer-quantized and seeded, so the DuckDB oracle
-    replays the full algorithm bit-for-bit (hard-verifying the bucket
-    join + re-rank machinery, approximation included)."""
+    """Similarity/LSH: random-hyperplane buckets -> exact re-rank, as a
+    tagged union over BOTH re-rank wires. The planes are
+    integer-quantized and seeded, so the DuckDB oracle replays the full
+    algorithm bit-for-bit (hard-verifying the bucket join + re-rank
+    machinery, approximation included).
+
+    wire_tag='d64': the parquet embeddings as-is — dim 64 resolves to
+    the array wire (JVM zip_with scoring).
+
+    wire_tag='d192': the same vectors widened 3x with exact IEEE ops
+    (concat(v, -v, v*0.5) — negate and halve are exact in doubles, so
+    the oracle widens identically) — dim 192 resolves to the BINARY
+    wire (width-tagged int16 blobs + Arrow kernel), putting the
+    wide-vector shuffle path under the driver's hash gate;
+    tests/test_plans.py asserts the plan really took it."""
     emb = _load(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, k=5)
+    narrow = similarity.lsh_topk(emb, k=5)
+    wide_vec = F.concat(
+        F.transform("embedding", lambda v: v.cast("double")),
+        F.transform("embedding", lambda v: -v.cast("double")),
+        F.transform("embedding", lambda v: v.cast("double") * F.lit(0.5)),
+    )
+    wide = emb.select("vec_id", wide_vec.alias("embedding"))
+    widel = similarity.lsh_topk(wide, k=5, dim=192)
+    return (
+        narrow.select(F.lit("d64").alias("wire_tag"), "*")
+        .unionByName(widel.select(F.lit("d192").alias("wire_tag"), "*"))
+    )
 
 
 _IVF_MERGED_SQL = f"""
