@@ -93,8 +93,15 @@ def main() -> None:
     median = effs[len(effs) // 2] if effs else 0.0
     for r in rows:
         # flag shapes well below the headline median: on a shared host
-        # absolute efficiency is noise-limited, relative collapse is signal
-        r["flag"] = bool(r["efficiency"] < 0.5 * median)
+        # absolute efficiency is noise-limited, relative collapse is
+        # signal. ALSO flag core-count INVERSIONS outright — more cores
+        # making a multi-second query slower is a plan/scheduler defect
+        # whatever the median is doing (sub-second queries are
+        # scheduler-latency-bound, so the inversion test only applies
+        # above 2 s at the low width; r05 cell_cover_join 5.67->7.96 s
+        # was exactly this and the old flag logic missed it)
+        r["flag"] = bool(r["efficiency"] < 0.5 * median
+                         or (r["speedup"] < 1.0 and r[f"t{lo}"] >= 2.0))
     sys.path.insert(0, REPO)
     from BENCH.run_scaling import host_probe
 

@@ -198,6 +198,35 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
     ``polygons`` needs (polygon_id, geojson, min_lon, min_lat,
     max_lon, max_lat) — the ``synth.polygons_df`` shape.
     """
+    cand, lon_col, lat_col = cell_cover_candidates(
+        points, polygons, level, lon_col, lat_col)
+
+    @F.pandas_udf(BooleanType())
+    def pip_pair(lon: pd.Series, lat: pd.Series, rings_json: pd.Series,
+                 interior: pd.Series) -> pd.Series:
+        out = interior.to_numpy(dtype=bool).copy()  # interior rows are in
+        x, y = lon.to_numpy(), lat.to_numpy()
+        pend = ~out
+        for rj in rings_json[pend].unique():
+            m = pend & (rings_json == rj).to_numpy()
+            out[m] = geometry.points_in_polygon(x[m], y[m], _parse_rings_cached(rj))
+        return pd.Series(out)
+
+    return (
+        cand.filter(pip_pair(F.col(lon_col), F.col(lat_col),
+                             F.col("rings_json"), F.col("interior")))
+        .drop("cell", "rings_json", "interior")
+    )
+
+
+def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
+                          level: int = 8, lon_col: str = "longitude",
+                          lat_col: str = "latitude"):
+    """The candidate-generation stages of :func:`cell_cover_join`
+    (polygon cell cover -> point cell key -> cell equi-join -> broadcast
+    ring re-attach), without the final PIP refinement — factored out so
+    the scaling diagnostics can time the join phase and the Python
+    scorer phase separately. Returns (candidates, lon_col, lat_col)."""
     import json as _json
 
     from ..functions import cells as _cells
@@ -237,23 +266,7 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
         "cell", _cells.cell_id_col(F.col(lon_col), F.col(lat_col), level)
     )
     cand = pts.join(poly_cells, "cell").join(F.broadcast(rings_df), "polygon_id")
-
-    @F.pandas_udf(BooleanType())
-    def pip_pair(lon: pd.Series, lat: pd.Series, rings_json: pd.Series,
-                 interior: pd.Series) -> pd.Series:
-        out = interior.to_numpy(dtype=bool).copy()  # interior rows are in
-        x, y = lon.to_numpy(), lat.to_numpy()
-        pend = ~out
-        for rj in rings_json[pend].unique():
-            m = pend & (rings_json == rj).to_numpy()
-            out[m] = geometry.points_in_polygon(x[m], y[m], _parse_rings_cached(rj))
-        return pd.Series(out)
-
-    return (
-        cand.filter(pip_pair(F.col(lon_col), F.col(lat_col),
-                             F.col("rings_json"), F.col("interior")))
-        .drop("cell", "rings_json", "interior")
-    )
+    return cand, lon_col, lat_col
 
 
 def bbox_join(images: DataFrame, polygons: DataFrame, how: str = "inner") -> DataFrame:
