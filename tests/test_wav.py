@@ -179,7 +179,7 @@ class TestAdpcm:
                 tags.add(struct.unpack("<H", bytes(buf[20:22]))[0])
                 samples, _ = wav.decode_wav(bytes(buf))
                 assert samples.dtype == np.int16
-        assert tags == {1, 7, 17}  # PCM16, mu-law, IMA ADPCM all present
+        assert tags == {1, 6, 7, 17}  # PCM16, A-law, mu-law, ADPCM all present
 
     def test_stereo_group_misaligned_block_align_raises(self):
         """Channel-even but non-4-byte-group block_align (e.g. 20) must
@@ -240,6 +240,36 @@ class TestMulaw:
         s = _smooth(700, 2, seed=13)
         got = multimodal.decode_media(wav.encode_wav_mulaw(s), "audio", "wav")
         assert got.shape == (700, 2) and got.dtype == np.uint8
+
+
+class TestAlaw:
+    def test_code_identity_all_256(self):
+        """A-law has no zero degeneracy: every one of the 256 codes
+        decodes to its segment midpoint and re-encodes to itself."""
+        u = np.arange(256, dtype=np.uint8)
+        re = wav.alaw_encode_i16(wav.alaw_decode_u8(u))
+        np.testing.assert_array_equal(re, u)
+
+    @pytest.mark.parametrize("ch", [1, 2])
+    def test_roundtrip_snr_and_shape(self, ch):
+        s = _smooth(3000, ch, seed=14)
+        out, sr = wav.decode_wav(wav.encode_wav_alaw(s, 8000))
+        assert sr == 8000 and out.dtype == np.int16 and out.shape == s.shape
+        num = float((s.astype(np.float64) ** 2).mean())
+        err = float(((out.astype(np.float64) - s) ** 2).mean())
+        # A-law: ~37-38 dB SNR at near-full-scale signals
+        assert 10 * np.log10(max(num, 1.0) / max(err, 1e-9)) >= 30.0
+
+    def test_sign_convention_and_monotone(self):
+        vals = np.array([-32768, -4000, -8, 0, 8, 4000, 32767], dtype=np.int16)
+        dec = wav.alaw_decode_u8(wav.alaw_encode_i16(vals)).astype(np.int64)
+        assert np.all(np.diff(dec) >= 0)
+        assert dec[0] < 0 < dec[-1]
+
+    def test_decode_media_handles_alaw_rows(self):
+        s = _smooth(700, 1, seed=15)
+        got = multimodal.decode_media(wav.encode_wav_alaw(s), "audio", "wav")
+        assert got.shape == (700, 1) and got.dtype == np.uint8
 
 
 def test_trailing_tagger_bytes_after_riff_payload_ignored():

@@ -228,7 +228,8 @@ def synth_media_rows(n: int = 64) -> list[tuple]:
     REAL baseline-JPEG bytes (sources/jpeg.py, smooth deterministic
     content), and the ``fake/gray8`` plumbing format; audio rows are
     REAL RIFF/WAV bytes (sources/wav.py, alternating mono/stereo,
-    rotating PCM16 / G.711 µ-law / IMA ADPCM); video rows rotate through
+    rotating PCM16 / G.711 µ-law / IMA ADPCM / G.711 A-law); video rows
+    rotate through
     REAL uncompressed-AVI clips, REAL MJPEG-in-AVI clips (sources/avi.py
     + sources/jpeg.py, container-parsed frame sampling), and the ``mp4``
     stub format (poison-pill path — codecs like H.264 need ffmpeg,
@@ -261,17 +262,13 @@ def synth_media_rows(n: int = 64) -> list[tuple]:
             ach = 1 + (i // 3) % 2  # alternate mono / stereo
             samples = rng.integers(-32768, 32767, (side * side, ach),
                                    dtype=np.int64).astype(np.int16)
-            if (i // 3) % 3 == 2:
-                # every third audio row rides the COMPRESSED integer
-                # codec (IMA ADPCM, format 17) so the digests exercise
-                # a lossy-decode audio path like MJPEG does for video
-                buf = _wav.encode_wav_adpcm(samples, 16000)
-            elif (i // 3) % 3 == 1:
-                # and another third rides G.711 mu-law (format 7) — the
-                # elementwise companded codec
-                buf = _wav.encode_wav_mulaw(samples, 16000)
-            else:
-                buf = _wav.encode_wav(samples, 16000)
+            # audio rows rotate through all four in-repo codecs so the
+            # digests exercise every lossy-decode path (like MJPEG does
+            # for video): PCM16, G.711 mu-law/A-law (elementwise
+            # companding), IMA ADPCM (block-predictive)
+            enc = [_wav.encode_wav, _wav.encode_wav_mulaw,
+                   _wav.encode_wav_adpcm, _wav.encode_wav_alaw][(i // 3) % 4]
+            buf = enc(samples, 16000)
         elif mt == "video" and (i // 3) % 3 != 2:
             from ..sources import avi as _avi
 

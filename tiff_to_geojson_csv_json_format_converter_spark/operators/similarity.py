@@ -436,7 +436,11 @@ def exact_rerank_topk(df: DataFrame, cand: DataFrame, k: int,
       conversion on both shuffle sides, measured 10x+ slower at
       real embedding dims (PLANS.md 'Blocked cosine').
     - ``'auto'``: probe the dim from one row (a tiny head() job) and
-      pick binary at ``dim >= wire_dim_threshold``.
+      pick binary at ``dim >= wire_dim_threshold``. NOTE for callers:
+      the probe is one Spark JOB per call — in a loop or a
+      latency-sensitive path, pass ``wire`` explicitly (both in-repo
+      callers do: lsh_topk resolves from its declared plane dim,
+      ivf_topk from the trained centroid width — neither ever probes).
 
     Both wires floor-quantize BEFORE any transport, compute the
     identical IEEE expression tree

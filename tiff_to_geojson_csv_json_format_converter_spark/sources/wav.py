@@ -16,9 +16,10 @@ Scope (raises otherwise, keeping the poison-pill path honest):
   engine-portable. Blocks are independent (each block header carries
   the predictor + step index), which is also the right distributed
   shape: a 100 TB audio corpus splits at block boundaries.
-- format 7 (G.711 µ-law, 8-bit): the telephony companding codec — 2x
-  smaller than PCM16, pure elementwise integer math (no inter-sample
-  state at all), so it splits anywhere, not just at block boundaries.
+- formats 7 and 6 (G.711 µ-law / A-law, 8-bit): the telephony
+  companding codecs — 2x smaller than PCM16, pure elementwise integer
+  math (no inter-sample state at all), so they split anywhere, not
+  just at block boundaries.
 - format 3 (IEEE float) and everything else raise NotImplementedError;
   structurally broken bytes (bad magic, truncated chunks, odd data
   size) raise ValueError — corrupt media must be DETECTED, not
@@ -282,10 +283,45 @@ def mulaw_encode_i16(samples: np.ndarray) -> np.ndarray:
     return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
 
 
-def encode_wav_mulaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
-    """RIFF/WAVE writer for G.711 µ-law (format 7): int16 samples in,
-    8-bit companded interleaved data out, with the customary 'fact'
-    frame count for a non-PCM format."""
+def alaw_decode_u8(codes: np.ndarray) -> np.ndarray:
+    """A-law bytes -> int16 linear PCM (elementwise). Per G.711: toggle
+    the even bits (xor 0x55), then expand the segment/mantissa pair;
+    the sign bit SET means positive (opposite of µ-law)."""
+    a = np.asarray(codes, dtype=np.uint8).astype(np.int32) ^ 0x55
+    exp = (a >> 4) & 0x07
+    t = (a & 0x0F) << 4
+    mag = np.where(
+        exp == 0, t + 8,
+        np.where(exp == 1, t + 0x108, (t + 0x108) << np.maximum(exp - 1, 0)),
+    )
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+def alaw_encode_i16(samples: np.ndarray) -> np.ndarray:
+    """int16 linear PCM -> A-law bytes (elementwise)."""
+    s = np.asarray(samples, dtype=np.int32) >> 3  # 13-bit domain
+    mask = np.where(s >= 0, 0xD5, 0x55)
+    mag = np.where(s >= 0, s, -s - 1)
+    # segment = bit_length(mag) - 5 clipped to [0,7] (seg ends 0x1F,
+    # 0x3F, ..., 0xFFF); 13-bit input can't overflow seg 7
+    _, e2 = np.frexp(np.maximum(mag, 1).astype(np.float64))
+    seg = np.clip(e2 - 5, 0, 7)
+    mant = np.where(seg < 2, (mag >> 1) & 0x0F, (mag >> seg) & 0x0F)
+    return (((seg << 4) | mant) ^ mask).astype(np.uint8)
+
+
+def _encode_wav_g711(samples: np.ndarray, sample_rate: int,
+                     fmt_tag: int, companded: np.ndarray) -> bytes:
+    n, ch = companded.shape
+    fmt = struct.pack("<HHIIHHH", fmt_tag, ch, sample_rate,
+                      sample_rate * ch, ch, 8, 0)
+    fact = struct.pack("<I", n)
+    body = (b"WAVE" + riff.chunk(b"fmt ", fmt) + riff.chunk(b"fact", fact)
+            + riff.chunk(b"data", companded.tobytes()))  # row-major = interleaved
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _check_i16_2d(samples: np.ndarray) -> np.ndarray:
     s = np.asarray(samples)
     if not (s.dtype.kind == "i" and s.dtype.itemsize == 2):
         raise ValueError(f"unsupported dtype {s.dtype} (int16 PCM only)")
@@ -293,14 +329,21 @@ def encode_wav_mulaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
         s = s[:, None]
     if s.ndim != 2:
         raise ValueError(f"unsupported shape {samples.shape}")
-    n, ch = s.shape
-    data = mulaw_encode_i16(s).tobytes()  # row-major = interleaved
-    fmt = struct.pack("<HHIIHHH", 7, ch, sample_rate, sample_rate * ch,
-                      ch, 8, 0)
-    fact = struct.pack("<I", n)
-    body = (b"WAVE" + riff.chunk(b"fmt ", fmt) + riff.chunk(b"fact", fact)
-            + riff.chunk(b"data", data))
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return s
+
+
+def encode_wav_mulaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """RIFF/WAVE writer for G.711 µ-law (format 7): int16 samples in,
+    8-bit companded interleaved data out, with the customary 'fact'
+    frame count for a non-PCM format."""
+    s = _check_i16_2d(samples)
+    return _encode_wav_g711(s, sample_rate, 7, mulaw_encode_i16(s))
+
+
+def encode_wav_alaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """RIFF/WAVE writer for G.711 A-law (format 6)."""
+    s = _check_i16_2d(samples)
+    return _encode_wav_g711(s, sample_rate, 6, alaw_encode_i16(s))
 
 
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
@@ -338,18 +381,20 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         if len(fmt_extra) >= 4:
             (spb,) = struct.unpack("<H", fmt_extra[2:4])
         return _decode_adpcm(data, ch, align, spb, n_frames), int(sample_rate)
-    if audio_format == 7:
+    if audio_format in (6, 7):
+        law = "A-law" if audio_format == 6 else "mu-law"
         if bits != 8:
-            raise NotImplementedError(f"{bits}-bit mu-law (8-bit only)")
+            raise NotImplementedError(f"{bits}-bit {law} (8-bit only)")
         if len(data) % ch != 0:
             raise ValueError(
                 f"data size {len(data)} not a whole number of frames"
             )
         codes = np.frombuffer(data, dtype=np.uint8).reshape(-1, ch)
-        return mulaw_decode_u8(codes), int(sample_rate)
+        dec = alaw_decode_u8 if audio_format == 6 else mulaw_decode_u8
+        return dec(codes), int(sample_rate)
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
-            f"only integer PCM16, IMA ADPCM and mu-law supported "
+            f"only integer PCM16, IMA ADPCM and G.711 supported "
             f"(got format {audio_format}, {bits}-bit)"
         )
     if len(data) % (2 * ch) != 0:
