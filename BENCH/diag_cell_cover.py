@@ -46,10 +46,14 @@ from tiff_to_geojson_csv_json_format_converter_spark.plans import entry_queries
 from tiff_to_geojson_csv_json_format_converter_spark.operators import joins
 from tiff_to_geojson_csv_json_format_converter_spark.sources import synth
 
-shuffle = {"base": max(cpus, 8), "shuffle128": 128, "nocoalesce": max(cpus, 8)}[variant]
+shuffle = {"base": max(cpus, 8), "shuffle128": 128,
+           "nocoalesce": max(cpus, 8), "arrow": max(cpus, 8),
+           "codegen": max(cpus, 8)}[variant]
 extra = {}
 if variant == "nocoalesce":
     extra["spark.sql.adaptive.coalescePartitions.enabled"] = "false"
+scorer = "arrow" if variant in ("base", "shuffle128", "nocoalesce",
+                                "arrow") else "codegen"
 spark = get_spark(app_name="diag", master=f"local[{cpus}]",
                   shuffle_partitions=shuffle, extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
@@ -67,7 +71,7 @@ pts_m = (
 polys = synth.polygons_df(spark)
 
 full_df = joins.cell_cover_join(
-    pts_m, polys, level=8, lon_col="lon", lat_col="lat"
+    pts_m, polys, level=8, lon_col="lon", lat_col="lat", scorer=scorer
 ).groupBy("polygon_id").agg(
     F.count("*").alias("n"), F.sum(F.col("z").cast("long")).alias("sum_z")
 )
@@ -110,7 +114,9 @@ def main() -> None:
     from bench import PROBE_REF_SEC, make_host_probe
     probe = make_host_probe()
 
-    variants = ["base", "shuffle128", "nocoalesce"]
+    variants = [v.strip() for v in os.environ.get(
+        "SPARK_GRAFT_DIAG_VARIANTS", "base,shuffle128,nocoalesce"
+    ).split(",") if v.strip()]
     runs = []
     for rep in range(REPS):
         for variant in variants:

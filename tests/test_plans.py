@@ -341,6 +341,63 @@ def test_cell_cover_join_is_equi_join(spark):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
 
 
+def test_cell_cover_codegen_scorer_bit_equal_and_jvm_only(spark):
+    """The default 'codegen' PIP scorer must (a) plan NO Python
+    evaluation node — the Arrow kernel's per-worker constants made the
+    join scale negatively 8->32 cores (BENCH/r06_diag_cell_cover.json)
+    — and (b) agree bit-for-bit with the Arrow kernel AND the numpy
+    reference, including hole polygons and an UNCLOSED ring (the wrap
+    edge close_ring() adds)."""
+    import json
+
+    from tiff_to_geojson_csv_json_format_converter_spark.functions import (
+        geometry as gf,
+    )
+
+    rings_by_id = {
+        # hole polygon (closed rings)
+        "h": [[[77.0, 28.0], [77.5, 28.0], [77.5, 28.5], [77.0, 28.5],
+               [77.0, 28.0]],
+              [[77.2, 28.2], [77.3, 28.2], [77.3, 28.3], [77.2, 28.3],
+               [77.2, 28.2]]],
+        # concave pentagon, UNCLOSED (first != last)
+        "u": [[[77.1, 28.05], [77.4, 28.1], [77.45, 28.3],
+               [77.25, 28.45], [77.05, 28.3]]],
+    }
+    polys = spark.createDataFrame(
+        [(pid, json.dumps({"type": "Polygon", "coordinates": rr}),
+          min(p[0] for p in rr[0]), min(p[1] for p in rr[0]),
+          max(p[0] for p in rr[0]), max(p[1] for p in rr[0]))
+         for pid, rr in rings_by_id.items()],
+        "polygon_id string, geojson string, min_lon double, "
+        "min_lat double, max_lon double, max_lat double",
+    )
+    pts_xy = [(i, 77.0 + (i % 23) * 0.025, 28.0 + (i // 23) * 0.025)
+              for i in range(23 * 23)]
+    pts = spark.createDataFrame(
+        pts_xy, "point_id long, longitude double, latitude double")
+
+    got = {}
+    for scorer in ("codegen", "arrow"):
+        df = joins.cell_cover_join(pts, polys, level=8, scorer=scorer)
+        got[scorer] = {(r["point_id"], r["polygon_id"])
+                       for r in df.collect()}
+        p = plan_str(df)
+        if scorer == "codegen":
+            assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert got["codegen"] == got["arrow"]
+
+    x = np.array([p[1] for p in pts_xy])
+    y = np.array([p[2] for p in pts_xy])
+    ids = np.array([p[0] for p in pts_xy])
+    want = set()
+    for pid, rr in rings_by_id.items():
+        inside = gf.points_in_polygon(
+            x, y, [np.asarray(r, dtype=np.float64) for r in rr])
+        want |= {(int(i), pid) for i in ids[inside]}
+    assert got["codegen"] == want
+
+
 def test_clip_fallback_ladder_rungs(spark):
     """D4 (test2.py:1264-1357): rung selection by geometry usability and
     per-rung membership semantics — exact PIP, bbox window, D5 center

@@ -28,30 +28,6 @@ from pyspark.sql.types import BooleanType
 from ..functions import cells, geometry
 
 
-# worker-global parsed-ring cache for the cell-cover PIP kernel: every
-# Arrow batch sees the same handful of polygon geometries, and json
-# parse + ndarray conversion per batch is pure overhead that grows with
-# partition count (more partitions -> more batches -> more re-parses of
-# identical rings; measured ~0.5s of the sf0.1 cell_cover_join wall at
-# 32 partitions). Keyed by the raw json string; bounded by a full clear
-# at 256 entries (polygon LAYERS are broadcast-small by construction —
-# the geometry rides a broadcast join — so 256 covers real layers and
-# the clear only costs a re-parse).
-_RING_CACHE: dict[str, list] = {}
-
-
-def _parse_rings_cached(rj: str) -> list:
-    got = _RING_CACHE.get(rj)
-    if got is None:
-        import json as _json
-
-        got = [np.asarray(r, dtype=np.float64) for r in _json.loads(rj)]
-        if len(_RING_CACHE) >= 256:
-            _RING_CACHE.clear()
-        _RING_CACHE[rj] = got
-    return got
-
-
 def _rings_bbox(rings: list) -> tuple:
     """(min_lon, min_lat, max_lon, max_lat) over ALL rings — a flattened
     MultiPolygon ring list (normalize_geometry output) puts disjoint
@@ -166,8 +142,62 @@ def clip_points_multi(points: DataFrame, polygons: dict[str, list],
     return boxed.withColumn(tag_col, F.explode(tags(F.col(lon_col), F.col(lat_col))))
 
 
+def _pip_parity_pred(lon_col: str, lat_col: str,
+                     rings_col: str = "rings_arr"):
+    """Even-odd ray-cast as a PURE CATALYST predicate over parsed
+    GeoJSON rings (``array<array<array<double>>>``) — no Python workers,
+    no Arrow hop, scales with JVM threads.
+
+    Bit-compatible with :func:`..functions.geometry.points_in_polygon`:
+
+    - the crossing abscissa evaluates the IDENTICAL float64 expression
+      in the identical order, ``(xj-xi)*(y-yi)/(yj-yi)+xi`` — IEEE-754
+      ops are deterministic, so JVM == numpy bit-for-bit;
+    - XOR across shell+hole rings == parity of the TOTAL crossing
+      count, so one nested ``aggregate`` sums crossings over (ring,
+      edge) and tests oddness;
+    - an unclosed ring gets the same wrap edge ``close_ring`` appends
+      (guarded by exact first==last comparison, as numpy does).
+
+    Out of scope exactly like the numpy kernel's callers: NaN
+    coordinates (Spark orders NaN unlike IEEE; all PIP inputs are
+    valid-filtered).
+
+    Why this exists: a zero-Python PIP refinement for deployments where
+    the Python-worker fleet itself is the constraint. Measured caveat
+    (BENCH/r06_diag_cell_cover_scorer.json): at typical ring sizes the
+    boxed per-edge lambda evaluation allocates MORE JVM garbage than
+    the slim broadcast-variable Arrow kernel, so this is the option,
+    not the default — the r5 8->32-core inversion reproduced with this
+    pure-JVM plan too, which is what pinned the regression on
+    allocation/GC pressure rather than on Python worker constants.
+    """
+    x, y = f"`{lon_col}`", f"`{lat_col}`"
+
+    def edge(p1: str, p2: str) -> str:
+        xi, yi = f"element_at({p1}, 1)", f"element_at({p1}, 2)"
+        xj, yj = f"element_at({p2}, 1)", f"element_at({p2}, 2)"
+        return (f"IF(({yi} > {y}) != ({yj} > {y}) "
+                f"AND {x} < ({xj} - {xi}) * ({y} - {yi}) / ({yj} - {yi})"
+                f" + {xi}, 1L, 0L)")
+
+    first, last = "element_at(ring, 1)", "element_at(ring, size(ring))"
+    closed = (f"element_at({first}, 1) = element_at({last}, 1) "
+              f"AND element_at({first}, 2) = element_at({last}, 2)")
+    per_ring = (
+        f"aggregate(sequence(1, size(ring) - 1), 0L, (c, k) -> c + "
+        + edge("element_at(ring, k)", "element_at(ring, k + 1)")
+        + f") + IF({closed}, 0L, " + edge(last, first) + ")"
+    )
+    return F.expr(
+        f"aggregate(`{rings_col}`, 0L, (acc, ring) -> acc + ({per_ring}))"
+        f" % 2 = 1"
+    )
+
+
 def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
-                    lon_col: str = "longitude", lat_col: str = "latitude") -> DataFrame:
+                    lon_col: str = "longitude", lat_col: str = "latitude",
+                    scorer: str = "arrow") -> DataFrame:
     """Point-in-polygon join for LARGE polygon sets: cell-cover equi-join
     + exact PIP refinement.
 
@@ -182,13 +212,13 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
     2. each point gets its cell id in pure codegen;
     3. a shuffle equi-join on the cell produces candidates — each point
        only ever meets polygons whose cover shares its cell, so the
-       pair count is output-shaped, not |points| x |polygons|; the ring
-       geometry is re-attached AFTER this join via a broadcast join on
-       polygon_id (one copy per executor, never duplicated per cover
-       cell through the shuffle — drop the broadcast hint if the
-       polygon layer outgrows executor memory and let AQE choose);
-    4. one Arrow pass ray-casts the exact rings (parsed once per
-       polygon per batch) over the boundary-cell candidates.
+       pair count is output-shaped, not |points| x |polygons|; the
+       candidate rows stay geometry-free (cell, polygon_id, interior)
+       — ring geometry reaches the scorer out-of-band (broadcast
+       variable for 'arrow', broadcast join of pre-parsed arrays for
+       'codegen'), never duplicated per candidate row;
+    4. exact ray-cast over the boundary-cell candidates only —
+       interior-cell rows short-circuit JVM-side.
 
     Hot cells (dense tiles) are ordinary join skew — AQE skew-join or
     ``salted_repartition`` on the cell key applies. Returns the points
@@ -197,36 +227,86 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
 
     ``polygons`` needs (polygon_id, geojson, min_lon, min_lat,
     max_lon, max_lat) — the ``synth.polygons_df`` shape.
+
+    ``scorer`` picks the exact-refinement engine, bit-equal results:
+
+    - ``'arrow'`` (default): the vectorized numpy kernel. The
+      candidate rows carry ONLY ``polygon_id`` — ring geometry is
+      resolved inside the kernel from a Spark broadcast variable
+      ({polygon_id: parsed ndarrays}, one copy per worker), so neither
+      the JVM rows nor the Arrow transfer ever hold a per-row geometry
+      string (~250 B/row of pure allocator+transfer garbage before;
+      GC time was the dominant cost of this stage at 32 cores,
+      BENCH/r06_diag_heap.json). Interior-cell rows short-circuit
+      JVM-side (a split-union on ``interior``) and never reach Python.
+    - ``'codegen'``: :func:`_pip_parity_pred` — the ray-cast as a
+      Catalyst expression over JVM-parsed ring arrays, zero Python
+      stages. Useful where Python workers are expensive; at typical
+      vertex counts the boxed per-edge evaluation generates more JVM
+      garbage than the slim Arrow kernel, so it is not the default.
     """
+    if scorer == "codegen":
+        cand, lon_col, lat_col = cell_cover_candidates(
+            points, polygons, level, lon_col, lat_col, rings="parsed")
+        return (
+            cand.filter(F.col("interior")
+                        | _pip_parity_pred(lon_col, lat_col, "rings_arr"))
+            .drop("cell", "rings_arr", "interior")
+        )
+    if scorer != "arrow":
+        raise ValueError(f"unknown scorer {scorer!r} ('codegen' or 'arrow')")
+    import json as _json
+
     cand, lon_col, lat_col = cell_cover_candidates(
-        points, polygons, level, lon_col, lat_col)
+        points, polygons, level, lon_col, lat_col, rings="none")
+    # the polygon layer is broadcast-small by construction (it rode a
+    # broadcast join before this refactor) — collecting it once on the
+    # driver is the same O(|polygons|) bound, and the broadcast variable
+    # deserializes ONCE per worker instead of shipping geometry per row
+    rings_map = {
+        r[0]: [np.asarray(rr, dtype=np.float64)
+               for rr in _json.loads(r[1])]
+        for r in polygons.select(
+            "polygon_id",
+            F.get_json_object("geojson", "$.coordinates")).collect()
+    }
+    bc = points.sparkSession.sparkContext.broadcast(rings_map)
 
     @F.pandas_udf(BooleanType())
-    def pip_pair(lon: pd.Series, lat: pd.Series, rings_json: pd.Series,
-                 interior: pd.Series) -> pd.Series:
-        out = interior.to_numpy(dtype=bool).copy()  # interior rows are in
+    def pip_pair(lon: pd.Series, lat: pd.Series,
+                 pid: pd.Series) -> pd.Series:
         x, y = lon.to_numpy(), lat.to_numpy()
-        pend = ~out
-        for rj in rings_json[pend].unique():
-            m = pend & (rings_json == rj).to_numpy()
-            out[m] = geometry.points_in_polygon(x[m], y[m], _parse_rings_cached(rj))
+        out = np.zeros(len(x), dtype=bool)
+        rm = bc.value
+        for p in pid.unique():
+            m = (pid == p).to_numpy()
+            out[m] = geometry.points_in_polygon(x[m], y[m], rm[p])
         return pd.Series(out)
 
-    return (
-        cand.filter(pip_pair(F.col(lon_col), F.col(lat_col),
-                             F.col("rings_json"), F.col("interior")))
-        .drop("cell", "rings_json", "interior")
+    interior = cand.filter("interior").drop("cell", "interior")
+    boundary = (
+        cand.filter(~F.col("interior"))
+        .filter(pip_pair(F.col(lon_col), F.col(lat_col),
+                         F.col("polygon_id")))
+        .drop("cell", "interior")
     )
+    return interior.unionByName(boundary)
 
 
 def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
                           level: int = 8, lon_col: str = "longitude",
-                          lat_col: str = "latitude"):
+                          lat_col: str = "latitude", rings: str = "json"):
     """The candidate-generation stages of :func:`cell_cover_join`
     (polygon cell cover -> point cell key -> cell equi-join -> broadcast
     ring re-attach), without the final PIP refinement — factored out so
     the scaling diagnostics can time the join phase and the Python
-    scorer phase separately. Returns (candidates, lon_col, lat_col)."""
+    scorer phase separately. Returns (candidates, lon_col, lat_col).
+
+    ``rings='json'`` attaches the raw coordinates JSON string
+    (``rings_json``, for the Arrow kernel); ``'parsed'`` attaches the
+    JVM-parsed ``array<array<array<double>>>`` (``rings_arr``, for the
+    codegen predicate) — parsed ONCE on the broadcast side, so the
+    per-candidate-row cost is array walking, never JSON parsing."""
     import json as _json
 
     from ..functions import cells as _cells
@@ -258,14 +338,26 @@ def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
     poly_cells = polygons.mapInPandas(
         cover, "cell long, polygon_id string, interior boolean"
     )
-    rings_df = polygons.select(
-        "polygon_id",
-        F.get_json_object("geojson", "$.coordinates").alias("rings_json"),
-    )
+    coords = F.get_json_object("geojson", "$.coordinates")
+    if rings == "parsed":
+        rings_df = polygons.select(
+            "polygon_id",
+            F.from_json(coords, "array<array<array<double>>>")
+            .alias("rings_arr"),
+        )
+    elif rings == "json":
+        rings_df = polygons.select("polygon_id", coords.alias("rings_json"))
+    elif rings == "none":
+        rings_df = None  # scorer resolves geometry via a broadcast var
+    else:
+        raise ValueError(
+            f"unknown rings mode {rings!r} ('json', 'parsed' or 'none')")
     pts = points.withColumn(
         "cell", _cells.cell_id_col(F.col(lon_col), F.col(lat_col), level)
     )
-    cand = pts.join(poly_cells, "cell").join(F.broadcast(rings_df), "polygon_id")
+    cand = pts.join(poly_cells, "cell")
+    if rings_df is not None:
+        cand = cand.join(F.broadcast(rings_df), "polygon_id")
     return cand, lon_col, lat_col
 
 
