@@ -102,7 +102,7 @@ def main() -> None:
                 ratio = round(probe() / PROBE_REF_SEC, 2)
                 t0 = time.time()
                 res = run_one(repo, query)
-                res.update(repo=os.path.basename(repo), pair=pair,
+                res.update(repo=repo, pair=pair,
                            probe_ratio=ratio, wall=round(time.time() - t0, 1))
                 runs.append(res)
                 print(json.dumps(res), flush=True)
@@ -113,15 +113,17 @@ def main() -> None:
         for r in runs:
             if r["query"] == query:
                 by_repo.setdefault(r["repo"], []).append(r["best"])
-        old_name, new_name = os.path.basename(old_repo), os.path.basename(new_repo)
-        med_old = statistics.median(by_repo[old_name])
-        med_new = statistics.median(by_repo[new_name])
+        # key by FULL path: basenames collide for the natural worktree
+        # layout (/tmp/old/repo vs ~/copies/repo), which would silently
+        # merge both sides into one list and report new_over_old = 1.0
+        med_old = statistics.median(by_repo[old_repo])
+        med_new = statistics.median(by_repo[new_repo])
         summary[query] = {
             "median_best_old": round(med_old, 3),
             "median_best_new": round(med_new, 3),
             "new_over_old": round(med_new / med_old, 3),
-            "bests_old": by_repo[old_name],
-            "bests_new": by_repo[new_name],
+            "bests_old": by_repo[old_repo],
+            "bests_new": by_repo[new_repo],
         }
 
     record = {

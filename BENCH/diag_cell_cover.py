@@ -76,7 +76,7 @@ full_df = joins.cell_cover_join(
     F.count("*").alias("n"), F.sum(F.col("z").cast("long")).alias("sum_z")
 )
 cand_df, _, _ = joins.cell_cover_candidates(
-    pts_m, polys, level=8, lon_col="lon", lat_col="lat"
+    pts_m, polys, level=8, lon_col="lon", lat_col="lat", rings="none"
 )
 
 def best_of(fn, reps=3):

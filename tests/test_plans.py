@@ -398,6 +398,60 @@ def test_cell_cover_codegen_scorer_bit_equal_and_jvm_only(spark):
     assert got["codegen"] == want
 
 
+def test_cell_cover_scorers_agree_on_schema_and_fail_loudly(spark):
+    """Scorer interchangeability and detect-don't-drop: identical column
+    ORDER from both scorers (positional readers must not care which one
+    ran), a driver-collect cap on the arrow path, and loud codegen
+    failures for unparseable / degenerate geometry (a silent NULL
+    parity would drop boundary rows while keeping interior rows)."""
+    import json
+
+    pts = spark.createDataFrame(
+        [(1, 77.25, 28.25), (2, 77.05, 28.05)],
+        "point_id long, longitude double, latitude double")
+
+    def layer(coords):
+        return spark.createDataFrame(
+            [("p0", json.dumps({"type": "Polygon", "coordinates": coords})
+              if not isinstance(coords, str) else coords,
+              77.0, 28.0, 77.5, 28.5)],
+            "polygon_id string, geojson string, min_lon double, "
+            "min_lat double, max_lon double, max_lat double")
+
+    square = [[[77.0, 28.0], [77.5, 28.0], [77.5, 28.5], [77.0, 28.5],
+               [77.0, 28.0]]]
+    cols = {s: joins.cell_cover_join(pts, layer(square), scorer=s).columns
+            for s in ("arrow", "codegen")}
+    assert cols["arrow"] == cols["codegen"] == [
+        "point_id", "longitude", "latitude", "polygon_id"]
+
+    with pytest.raises(ValueError, match="max_layer_rows"):
+        joins.cell_cover_join(pts, layer(square), scorer="arrow",
+                              max_layer_rows=0)
+
+    # corrupt JSON: must raise at evaluation, not emit partial rows
+    # (the cover stage's json.loads detects it first — loud is loud)
+    bad = layer('{"type": "Polygon", "coordinates": [[[77.0, oops')
+    with pytest.raises(Exception,
+                       match="Expecting value|unparseable polygon"):
+        joins.cell_cover_join(pts, bad, scorer="codegen").collect()
+
+    # degenerate 1-point ring: raised by whichever stage sees it first
+    # (cover's close_ring or the codegen size guard), never silent
+    degen = layer([[[77.25, 28.25]]])
+    with pytest.raises(Exception, match="ring must"):
+        joins.cell_cover_join(pts, degen, scorer="codegen").collect()
+
+    # the parity predicate's own null guard (defense-in-depth for
+    # rings that reach it as null elements, e.g. non-numeric coords
+    # under the 3-level schema): loud error, not a NULL filter drop
+    nul = pts.withColumn("rings_arr", F.from_json(
+        F.lit('[[["a", "b"], ["c", "d"], ["e", "f"]]]'),
+        "array<array<array<double>>>"))
+    with pytest.raises(Exception, match="null or mis-nested"):
+        nul.filter(joins._pip_parity_pred("longitude", "latitude")).collect()
+
+
 def test_clip_fallback_ladder_rungs(spark):
     """D4 (test2.py:1264-1357): rung selection by geometry usability and
     per-rung membership semantics — exact PIP, bbox window, D5 center

@@ -432,6 +432,13 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                 F.col("label"),
                 F.coalesce(F.col("nmin"), F.col("label"))
             ).alias("label"))
+            # `stepped` feeds BOTH sides of the doubling join below —
+            # without a checkpoint the edges-join + min-aggregate
+            # subtree is planned twice and recomputed whenever
+            # ReuseExchange doesn't match (AQE re-optimization can
+            # diverge the two copies), doubling the dominant per-round
+            # cost
+            .localCheckpoint(eager=False)
         )
         # pointer doubling: label <- label(label). Every label IS a
         # vertex id present in `stepped`, so the left join always hits;

@@ -185,19 +185,34 @@ def _pip_parity_pred(lon_col: str, lat_col: str,
     closed = (f"element_at({first}, 1) = element_at({last}, 1) "
               f"AND element_at({first}, 2) = element_at({last}, 2)")
     per_ring = (
+        # degenerate rings fail LOUDLY, matching close_ring's
+        # ValueError on the numpy path (a 1-point ring would otherwise
+        # hit sequence(1, 0) = [1, 0] descending and die with an opaque
+        # array-index error; a 2-point ring would silently score)
+        "CASE WHEN size(ring) < 3 THEN "
+        "raise_error(concat('ring must have >= 3 points, got ', "
+        "size(ring))) ELSE "
         f"aggregate(sequence(1, size(ring) - 1), 0L, (c, k) -> c + "
         + edge("element_at(ring, k)", "element_at(ring, k + 1)")
-        + f") + IF({closed}, 0L, " + edge(last, first) + ")"
+        + f") + IF({closed}, 0L, " + edge(last, first) + ") END"
     )
+    # mis-nested-but-valid JSON (e.g. MultiPolygon 4-level coordinates
+    # under the 3-level schema) parses to null ELEMENTS rather than a
+    # null array, which would drive the whole parity NULL — coalesce
+    # turns that into a loud error instead of silently dropped rows
     return F.expr(
-        f"aggregate(`{rings_col}`, 0L, (acc, ring) -> acc + ({per_ring}))"
-        f" % 2 = 1"
+        f"coalesce(aggregate(`{rings_col}`, 0L, "
+        f"(acc, ring) -> acc + ({per_ring})) % 2 = 1, "
+        f"cast(raise_error('ring coordinates are null or mis-nested "
+        f"(expected Polygon-style array<array<array<double>>>)') "
+        f"as boolean))"
     )
 
 
 def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
                     lon_col: str = "longitude", lat_col: str = "latitude",
-                    scorer: str = "arrow") -> DataFrame:
+                    scorer: str = "arrow",
+                    max_layer_rows: int = 250_000) -> DataFrame:
     """Point-in-polygon join for LARGE polygon sets: cell-cover equi-join
     + exact PIP refinement.
 
@@ -239,6 +254,10 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
       GC time was the dominant cost of this stage at 32 cores,
       BENCH/r06_diag_heap.json). Interior-cell rows short-circuit
       JVM-side (a split-union on ``interior``) and never reach Python.
+      Cost note: materializes the layer with ONE small driver job at
+      call time, capped at ``max_layer_rows`` (raises above it —
+      switch to 'codegen', whose geometry rides an executor-side
+      broadcast join, for larger layers).
     - ``'codegen'``: :func:`_pip_parity_pred` — the ray-cast as a
       Catalyst expression over JVM-parsed ring arrays, zero Python
       stages. Useful where Python workers are expensive; at typical
@@ -248,10 +267,16 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
     if scorer == "codegen":
         cand, lon_col, lat_col = cell_cover_candidates(
             points, polygons, level, lon_col, lat_col, rings="parsed")
+        out_cols = [c for c in cand.columns
+                    if c not in ("cell", "rings_arr", "interior",
+                                 "polygon_id") ] + ["polygon_id"]
         return (
             cand.filter(F.col("interior")
                         | _pip_parity_pred(lon_col, lat_col, "rings_arr"))
-            .drop("cell", "rings_arr", "interior")
+            # the broadcast join puts its key first; normalize to the
+            # 'arrow' order (points columns, then polygon_id) so the two
+            # scorers are drop-in interchangeable for positional readers
+            .select(*out_cols)
         )
     if scorer != "arrow":
         raise ValueError(f"unknown scorer {scorer!r} ('codegen' or 'arrow')")
@@ -262,13 +287,22 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
     # the polygon layer is broadcast-small by construction (it rode a
     # broadcast join before this refactor) — collecting it once on the
     # driver is the same O(|polygons|) bound, and the broadcast variable
-    # deserializes ONCE per worker instead of shipping geometry per row
+    # deserializes ONCE per worker instead of shipping geometry per row.
+    # limit()+1 bounds the driver exposure BEFORE materializing anything:
+    # one job either returns the whole layer or proves it's over the cap.
+    taken = polygons.select(
+        "polygon_id", F.get_json_object("geojson", "$.coordinates")
+    ).limit(max_layer_rows + 1).collect()
+    if len(taken) > max_layer_rows:
+        raise ValueError(
+            f"polygon layer exceeds max_layer_rows={max_layer_rows} for "
+            f"the driver-collected broadcast; use scorer='codegen' "
+            f"(executor-side broadcast join of parsed rings) for very "
+            f"large layers")
     rings_map = {
         r[0]: [np.asarray(rr, dtype=np.float64)
                for rr in _json.loads(r[1])]
-        for r in polygons.select(
-            "polygon_id",
-            F.get_json_object("geojson", "$.coordinates")).collect()
+        for r in taken
     }
     bc = points.sparkSession.sparkContext.broadcast(rings_map)
 
@@ -295,17 +329,17 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
 
 def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
                           level: int = 8, lon_col: str = "longitude",
-                          lat_col: str = "latitude", rings: str = "json"):
+                          lat_col: str = "latitude", rings: str = "none"):
     """The candidate-generation stages of :func:`cell_cover_join`
     (polygon cell cover -> point cell key -> cell equi-join -> broadcast
     ring re-attach), without the final PIP refinement — factored out so
     the scaling diagnostics can time the join phase and the Python
     scorer phase separately. Returns (candidates, lon_col, lat_col).
 
-    ``rings='json'`` attaches the raw coordinates JSON string
-    (``rings_json``, for the Arrow kernel); ``'parsed'`` attaches the
-    JVM-parsed ``array<array<array<double>>>`` (``rings_arr``, for the
-    codegen predicate) — parsed ONCE on the broadcast side, so the
+    ``rings='none'`` (the arrow scorer's shape) keeps candidate rows
+    geometry-free; ``'parsed'`` broadcast-joins the JVM-parsed
+    ``array<array<array<double>>>`` (``rings_arr``, for the codegen
+    predicate) — parsed ONCE on the broadcast side, so the
     per-candidate-row cost is array walking, never JSON parsing."""
     import json as _json
 
@@ -340,18 +374,24 @@ def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
     )
     coords = F.get_json_object("geojson", "$.coordinates")
     if rings == "parsed":
+        parsed = F.from_json(coords, "array<array<array<double>>>")
+        # an unparseable geometry must DETECT, not silently drop: a NULL
+        # rings_arr would make the parity predicate NULL, dropping that
+        # polygon's boundary rows while KEEPING its interior rows —
+        # partial output with no error (the arrow scorer raises on the
+        # same input via json.loads on the driver)
         rings_df = polygons.select(
             "polygon_id",
-            F.from_json(coords, "array<array<array<double>>>")
-            .alias("rings_arr"),
+            F.when(parsed.isNull(), F.expr(
+                "raise_error(concat('unparseable polygon geojson "
+                "coordinates for ', polygon_id))"
+            )).otherwise(parsed).alias("rings_arr"),
         )
-    elif rings == "json":
-        rings_df = polygons.select("polygon_id", coords.alias("rings_json"))
     elif rings == "none":
         rings_df = None  # scorer resolves geometry via a broadcast var
     else:
         raise ValueError(
-            f"unknown rings mode {rings!r} ('json', 'parsed' or 'none')")
+            f"unknown rings mode {rings!r} ('parsed' or 'none')")
     pts = points.withColumn(
         "cell", _cells.cell_id_col(F.col(lon_col), F.col(lat_col), level)
     )
