@@ -71,12 +71,12 @@ pts_m = (
 polys = synth.polygons_df(spark)
 
 full_df = joins.cell_cover_join(
-    pts_m, polys, level=8, lon_col="lon", lat_col="lat", scorer=scorer
+    pts_m, polys, lon_col="lon", lat_col="lat", scorer=scorer
 ).groupBy("polygon_id").agg(
     F.count("*").alias("n"), F.sum(F.col("z").cast("long")).alias("sum_z")
 )
 cand_df, _, _ = joins.cell_cover_candidates(
-    pts_m, polys, level=8, lon_col="lon", lat_col="lat", rings="none"
+    pts_m, polys, lon_col="lon", lat_col="lat", rings="none"
 )
 
 def best_of(fn, reps=3):

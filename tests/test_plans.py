@@ -398,6 +398,44 @@ def test_cell_cover_codegen_scorer_bit_equal_and_jvm_only(spark):
     assert got["codegen"] == want
 
 
+def test_cell_cover_adaptive_levels(spark):
+    """level=None picks the cover level PER POLYGON: identical result
+    multiset to any fixed level (PIP refinement is exact, candidates
+    only vary), strictly FEWER exact-scored boundary candidates on a
+    mixed-size layer, and a plan that stays an equi-join."""
+    from collections import Counter
+
+    pts = spark.read.parquet(f"{SF}/lineitem.parquet").selectExpr(
+        "l_orderkey * 10 + l_linenumber as point_id",
+        "77.0 + (l_partkey % 1000) * 0.0005 as longitude",
+        "28.0 + (l_suppkey % 1000) * 0.0005 as latitude")
+    polys = synth.polygons_df(spark)
+
+    fixed = joins.cell_cover_join(pts, polys, level=8)
+    adapt = joins.cell_cover_join(pts, polys)
+    key = lambda r: (r["point_id"], r["polygon_id"])
+    assert Counter(map(key, fixed.collect())) == Counter(
+        map(key, adapt.collect()))
+    p = plan_str(adapt)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    nb_fixed = joins.cell_cover_candidates(pts, polys, level=8)[0] \
+        .filter("not interior").count()
+    nb_adapt = joins.cell_cover_candidates(pts, polys)[0] \
+        .filter("not interior").count()
+    assert nb_adapt < nb_fixed
+
+    # _auto_level: monotone in polygon size, capped cover, menu-valued
+    lv_small = joins._auto_level(77.0, 28.0, 77.01, 28.01)
+    lv_big = joins._auto_level(70.0, 20.0, 90.0, 35.0)
+    assert lv_small > lv_big
+    assert lv_small in joins._ADAPTIVE_LEVELS
+    assert lv_big in joins._ADAPTIVE_LEVELS
+    for lv, box in ((lv_small, (77.0, 28.0, 77.01, 28.01)),
+                    (lv_big, (70.0, 20.0, 90.0, 35.0))):
+        assert len(cells.cover_bbox(*box, lv)) <= 4096
+
+
 def test_cell_cover_scorers_agree_on_schema_and_fail_loudly(spark):
     """Scorer interchangeability and detect-don't-drop: identical column
     ORDER from both scorers (positional readers must not care which one

@@ -159,11 +159,27 @@ def tile_y_col(lat: "Column", level: int) -> "Column":
 
 
 def _part1by1_col(v: "Column") -> "Column":
-    for shift, mask in ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
-                        (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
-                        (1, 0x5555555555555555)):
-        v = F.shiftleft(v, shift).bitwiseOR(v).bitwiseAND(F.lit(mask))
-    return v
+    """Morton bit-spread as a Column expression via a 256-entry constant
+    table, one lookup per input byte.
+
+    The obvious shift-mask ladder duplicates its operand at every one
+    of its 5 steps — a 2^5-fold expression-tree blowup per coordinate
+    that breaches janino's 64 KB method limit once several cell ids
+    share one projection (the adaptive cover explodes one id per layer
+    level), dropping the whole stage out of codegen. The table form
+    references the operand 4x total; the array literal constant-folds
+    to a single object in the codegen references, so generated code
+    stays small and in whole-stage codegen."""
+    table = F.expr("array(%s)" % ",".join(
+        str(int(_part1by1(np.array([b], dtype=np.uint64))[0])) + "L"
+        for b in range(256)))
+    out = None
+    for byte_i in range(4):  # 28-bit levels: 4 bytes cover tile_x/y
+        b = F.shiftrightunsigned(v, 8 * byte_i).bitwiseAND(F.lit(255))
+        part = F.element_at(table, (b + F.lit(1)).cast("int"))
+        part = F.shiftleft(part, 16 * byte_i) if byte_i else part
+        out = part if out is None else out.bitwiseOR(part)
+    return out
 
 
 def cell_id_col(lon: "Column", lat: "Column", level: int) -> "Column":

@@ -209,10 +209,12 @@ def _pip_parity_pred(lon_col: str, lat_col: str,
     )
 
 
-def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
+def cell_cover_join(points: DataFrame, polygons: DataFrame,
+                    level: int | None = None,
                     lon_col: str = "longitude", lat_col: str = "latitude",
                     scorer: str = "arrow",
-                    max_layer_rows: int = 250_000) -> DataFrame:
+                    max_layer_rows: int = 250_000,
+                    max_cover_cells: int = 4096) -> DataFrame:
     """Point-in-polygon join for LARGE polygon sets: cell-cover equi-join
     + exact PIP refinement.
 
@@ -220,11 +222,18 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
     reference's one-request shapes, wrong for 10^5+ polygon layers. Here
     both sides meet on a Z-order cell key instead:
 
-    1. each polygon explodes (Arrow UDF) to the level-``level`` cells
-       covering its bbox — narrow rows (cell, polygon_id, interior);
-       cells wholly inside the polygon are pre-classified so their
-       points skip the ray-cast entirely (exact work = boundary cells);
-    2. each point gets its cell id in pure codegen;
+    1. each polygon explodes (Arrow UDF) to the cells covering its
+       bbox — narrow rows (cell, polygon_id, interior); cells wholly
+       inside the polygon are pre-classified so their points skip the
+       ray-cast entirely (exact work = boundary cells). With
+       ``level=None`` (default) the cover level is chosen PER POLYGON
+       (:func:`_auto_level`): big polygons coarse cells, small
+       polygons fine cells, cover size capped at ``max_cover_cells``
+       — the exact-PIP candidate band shrinks with cell width, which
+       cut the Python-scored rows ~an order of magnitude on the mixed
+       synth layer vs one fixed level;
+    2. each point gets its cell id in pure codegen (one id per cover
+       level the layer uses — ids encode the level);
     3. a shuffle equi-join on the cell produces candidates — each point
        only ever meets polygons whose cover shares its cell, so the
        pair count is output-shaped, not |points| x |polygons|; the
@@ -253,11 +262,11 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
       string (~250 B/row of pure allocator+transfer garbage before;
       GC time was the dominant cost of this stage at 32 cores,
       BENCH/r06_diag_heap.json). Interior-cell rows short-circuit
-      JVM-side (a split-union on ``interior``) and never reach Python.
+      inside the kernel (no ray-cast — one boolean copy).
       Cost note: materializes the layer with ONE small driver job at
       call time, capped at ``max_layer_rows`` (raises above it —
-      switch to 'codegen', whose geometry rides an executor-side
-      broadcast join, for larger layers).
+      switch to 'codegen' + explicit ``level``, which keeps everything
+      executor-side, for larger layers).
     - ``'codegen'``: :func:`_pip_parity_pred` — the ray-cast as a
       Catalyst expression over JVM-parsed ring arrays, zero Python
       stages. Useful where Python workers are expensive; at typical
@@ -266,7 +275,8 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
     """
     if scorer == "codegen":
         cand, lon_col, lat_col = cell_cover_candidates(
-            points, polygons, level, lon_col, lat_col, rings="parsed")
+            points, polygons, level, lon_col, lat_col, rings="parsed",
+            max_layer_rows=max_layer_rows, max_cover_cells=max_cover_cells)
         out_cols = [c for c in cand.columns
                     if c not in ("cell", "rings_arr", "interior",
                                  "polygon_id") ] + ["polygon_id"]
@@ -283,7 +293,8 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
     import json as _json
 
     cand, lon_col, lat_col = cell_cover_candidates(
-        points, polygons, level, lon_col, lat_col, rings="none")
+        points, polygons, level, lon_col, lat_col, rings="none",
+        max_layer_rows=max_layer_rows, max_cover_cells=max_cover_cells)
     # the polygon layer is broadcast-small by construction (it rode a
     # broadcast join before this refactor) — collecting it once on the
     # driver is the same O(|polygons|) bound, and the broadcast variable
@@ -307,34 +318,78 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame, level: int = 8,
     bc = points.sparkSession.sparkContext.broadcast(rings_map)
 
     @F.pandas_udf(BooleanType())
-    def pip_pair(lon: pd.Series, lat: pd.Series,
-                 pid: pd.Series) -> pd.Series:
+    def pip_pair(lon: pd.Series, lat: pd.Series, pid: pd.Series,
+                 interior: pd.Series) -> pd.Series:
+        out = interior.to_numpy(dtype=bool).copy()  # interior rows are in
         x, y = lon.to_numpy(), lat.to_numpy()
-        out = np.zeros(len(x), dtype=bool)
+        pend = ~out
         rm = bc.value
-        for p in pid.unique():
-            m = (pid == p).to_numpy()
+        for p in pid[pend].unique():
+            m = pend & (pid == p).to_numpy()
             out[m] = geometry.points_in_polygon(x[m], y[m], rm[p])
         return pd.Series(out)
 
-    interior = cand.filter("interior").drop("cell", "interior")
-    boundary = (
-        cand.filter(~F.col("interior"))
-        .filter(pip_pair(F.col(lon_col), F.col(lat_col),
-                         F.col("polygon_id")))
+    # ONE scan, ONE join, ONE Arrow pass over 4 slim columns. A
+    # split-union (interior rows bypassing Python) was measured to plan
+    # the candidate join TWICE — AQE re-optimizes the union branches
+    # independently and exchange reuse missed (r06_diag_phase.json:
+    # reused_exchange false) — and a double scan is the wrong trade at
+    # 100 TB; interior rows now cost ~26 transferred bytes each instead
+    # of a second pass over the whole candidate subtree.
+    return (
+        cand.filter(pip_pair(F.col(lon_col), F.col(lat_col),
+                             F.col("polygon_id"), F.col("interior")))
         .drop("cell", "interior")
     )
-    return interior.unionByName(boundary)
+
+
+# the adaptive-cover level menu: even levels 4..16 (cell areas step by
+# 16x). A FIXED menu keeps the point side's explode bounded: a point
+# emits at most one cell id per DISTINCT level the layer actually uses.
+_ADAPTIVE_LEVELS = (4, 6, 8, 10, 12, 14, 16)
+
+
+def _auto_level(min_lon: float, min_lat: float, max_lon: float,
+                max_lat: float, max_cover_cells: int = 4096,
+                levels: tuple = _ADAPTIVE_LEVELS) -> int:
+    """Finest menu level whose bbox cover stays within
+    ``max_cover_cells`` — big polygons get coarse cells, small polygons
+    fine cells. Finer cells shrink the boundary band: the exact-PIP
+    candidate count per polygon falls as ~cell_width * perimeter /
+    area, while the cover table grows only to the cap. Pure function of
+    the bbox, so the driver (choosing the point side's level set) and
+    the executors (covering each polygon) always agree."""
+    best = levels[0]
+    for lv in levels:
+        x0, y1 = cells.tile_xy(np.array([min_lon]), np.array([min_lat]), lv)
+        x1, y0 = cells.tile_xy(np.array([max_lon]), np.array([max_lat]), lv)
+        n = int(x1[0] - x0[0] + 1) * int(y1[0] - y0[0] + 1)
+        if n <= max_cover_cells:
+            best = lv
+        else:
+            break
+    return best
 
 
 def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
-                          level: int = 8, lon_col: str = "longitude",
-                          lat_col: str = "latitude", rings: str = "none"):
+                          level: int | None = None,
+                          lon_col: str = "longitude",
+                          lat_col: str = "latitude", rings: str = "none",
+                          max_layer_rows: int = 250_000,
+                          max_cover_cells: int = 4096):
     """The candidate-generation stages of :func:`cell_cover_join`
-    (polygon cell cover -> point cell key -> cell equi-join -> broadcast
-    ring re-attach), without the final PIP refinement — factored out so
-    the scaling diagnostics can time the join phase and the Python
-    scorer phase separately. Returns (candidates, lon_col, lat_col).
+    (polygon cell cover -> point cell key -> cell equi-join), without
+    the final PIP refinement — factored out so the scaling diagnostics
+    can time the join phase and the Python scorer phase separately.
+    Returns (candidates, lon_col, lat_col).
+
+    ``level=None`` (default) picks the cover level PER POLYGON from the
+    :data:`_ADAPTIVE_LEVELS` menu via :func:`_auto_level` — cell ids
+    encode their level, so mixed-level covers share one equi-join key;
+    the point side explodes to one cell id per level the layer uses
+    (driver-derived from the layer's bboxes, one tiny job bounded by
+    ``max_layer_rows``). An integer pins one level for every polygon
+    (no driver job — the huge-layer escape hatch).
 
     ``rings='none'`` (the arrow scorer's shape) keeps candidate rows
     geometry-free; ``'parsed'`` broadcast-joins the JVM-parsed
@@ -349,8 +404,11 @@ def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
         for pdf in pdf_iter:
             rows = {"cell": [], "polygon_id": [], "interior": []}
             for r in pdf.itertuples(index=False):
+                lv = level if level is not None else _auto_level(
+                    r.min_lon, r.min_lat, r.max_lon, r.max_lat,
+                    max_cover_cells)
                 cover_cells = _cells.cover_bbox(
-                    r.min_lon, r.min_lat, r.max_lon, r.max_lat, level
+                    r.min_lon, r.min_lat, r.max_lon, r.max_lat, lv
                 )
                 rings_list = [np.asarray(rr, dtype=np.float64)
                               for rr in _json.loads(r.geojson)["coordinates"]]
@@ -392,9 +450,32 @@ def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
     else:
         raise ValueError(
             f"unknown rings mode {rings!r} ('parsed' or 'none')")
-    pts = points.withColumn(
-        "cell", _cells.cell_id_col(F.col(lon_col), F.col(lat_col), level)
-    )
+    if level is None:
+        # derive the SET of levels this layer uses from its bboxes (a
+        # tiny driver job over the small side, capped like the geometry
+        # broadcast); each point then emits one codegen cell id per
+        # used level — its level-L row can only meet polygons covered
+        # at L, because cell ids encode the level
+        taken = polygons.select(
+            "min_lon", "min_lat", "max_lon", "max_lat"
+        ).limit(max_layer_rows + 1).collect()
+        if len(taken) > max_layer_rows:
+            raise ValueError(
+                f"polygon layer exceeds max_layer_rows={max_layer_rows} "
+                f"for adaptive cover levels; pass an explicit integer "
+                f"level for very large layers")
+        levels_used = sorted(
+            {_auto_level(r[0], r[1], r[2], r[3], max_cover_cells)
+             for r in taken}
+        ) or [_ADAPTIVE_LEVELS[0]]
+        pts = points.withColumn("cell", F.explode(F.array(*[
+            _cells.cell_id_col(F.col(lon_col), F.col(lat_col), lv)
+            for lv in levels_used
+        ])))
+    else:
+        pts = points.withColumn(
+            "cell", _cells.cell_id_col(F.col(lon_col), F.col(lat_col), level)
+        )
     cand = pts.join(poly_cells, "cell")
     if rings_df is not None:
         cand = cand.join(F.broadcast(rings_df), "polygon_id")

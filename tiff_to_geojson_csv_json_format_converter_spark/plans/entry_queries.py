@@ -2654,7 +2654,7 @@ def q_cell_cover_join(spark, sf_dir):
     shapes; this is the 10^5-polygon-layer plan."""
     pts = _pts(spark, sf_dir).filter("valid")
     polys = synth.polygons_df(spark)
-    joined = joins.cell_cover_join(pts, polys, level=8, lon_col="lon", lat_col="lat")
+    joined = joins.cell_cover_join(pts, polys, lon_col="lon", lat_col="lat")
     return joined.groupBy("polygon_id").agg(
         F.count("*").alias("n"),
         F.sum(F.col("z").cast("long")).alias("sum_z"),
