@@ -210,7 +210,7 @@ def _pip_parity_pred(lon_col: str, lat_col: str,
 
 
 def cell_cover_join(points: DataFrame, polygons: DataFrame,
-                    level: int | None = None,
+                    level: int | None = 8,
                     lon_col: str = "longitude", lat_col: str = "latitude",
                     scorer: str = "arrow",
                     max_layer_rows: int = 250_000,
@@ -226,14 +226,21 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame,
        bbox — narrow rows (cell, polygon_id, interior); cells wholly
        inside the polygon are pre-classified so their points skip the
        ray-cast entirely (exact work = boundary cells). With
-       ``level=None`` (default) the cover level is chosen PER POLYGON
+       ``level=None`` the cover level is chosen PER POLYGON
        (:func:`_auto_level`): big polygons coarse cells, small
-       polygons fine cells, cover size capped at ``max_cover_cells``
-       — the exact-PIP candidate band shrinks with cell width, which
-       cut the Python-scored rows ~an order of magnitude on the mixed
-       synth layer vs one fixed level;
-    2. each point gets its cell id in pure codegen (one id per cover
-       level the layer uses — ids encode the level);
+       polygons fine cells, cover size capped at ``max_cover_cells``.
+       MEASURED trade-off (BENCH/r06 inversion A/B, sf0.1 x4, quiet
+       window): adaptive shrinks the boundary band ~10x but every
+       candidate row crosses Arrow regardless, so the total candidate
+       shrink was only ~15% (11.8M -> 10.0M) while the point side's
+       per-level explode multiplied the join probe side 4x — net
+       SLOWER at both widths (t8 5.8 vs 5.1 s, t32 12-14 vs 4.7 s).
+       Hence the FIXED default ``level=8``; reach for ``level=None``
+       only when the layer's polygon sizes span several orders of
+       magnitude AND a fixed level would breach ``max_cover_cells``;
+    2. each point gets its cell id in pure codegen (with adaptive
+       levels: one id per cover level the layer uses, via
+       :func:`cells.explode_cell_levels` — ids encode the level);
     3. a shuffle equi-join on the cell produces candidates — each point
        only ever meets polygons whose cover shares its cell, so the
        pair count is output-shaped, not |points| x |polygons|; the
@@ -372,7 +379,7 @@ def _auto_level(min_lon: float, min_lat: float, max_lon: float,
 
 
 def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
-                          level: int | None = None,
+                          level: int | None = 8,
                           lon_col: str = "longitude",
                           lat_col: str = "latitude", rings: str = "none",
                           max_layer_rows: int = 250_000,
@@ -383,13 +390,14 @@ def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
     can time the join phase and the Python scorer phase separately.
     Returns (candidates, lon_col, lat_col).
 
-    ``level=None`` (default) picks the cover level PER POLYGON from the
-    :data:`_ADAPTIVE_LEVELS` menu via :func:`_auto_level` — cell ids
-    encode their level, so mixed-level covers share one equi-join key;
-    the point side explodes to one cell id per level the layer uses
-    (driver-derived from the layer's bboxes, one tiny job bounded by
-    ``max_layer_rows``). An integer pins one level for every polygon
-    (no driver job — the huge-layer escape hatch).
+    An integer ``level`` (default 8) pins one cover level for every
+    polygon — no driver job, and the measured fast path (see
+    :func:`cell_cover_join`). ``level=None`` picks the level PER
+    POLYGON from the :data:`_ADAPTIVE_LEVELS` menu via
+    :func:`_auto_level` — cell ids encode their level, so mixed-level
+    covers share one equi-join key; the point side explodes to one
+    cell id per level the layer uses (driver-derived from the layer's
+    bboxes, one tiny job bounded by ``max_layer_rows``).
 
     ``rings='none'`` (the arrow scorer's shape) keeps candidate rows
     geometry-free; ``'parsed'`` broadcast-joins the JVM-parsed
@@ -468,10 +476,8 @@ def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
             {_auto_level(r[0], r[1], r[2], r[3], max_cover_cells)
              for r in taken}
         ) or [_ADAPTIVE_LEVELS[0]]
-        pts = points.withColumn("cell", F.explode(F.array(*[
-            _cells.cell_id_col(F.col(lon_col), F.col(lat_col), lv)
-            for lv in levels_used
-        ])))
+        pts = _cells.explode_cell_levels(
+            points, F.col(lon_col), F.col(lat_col), levels_used)
     else:
         pts = points.withColumn(
             "cell", _cells.cell_id_col(F.col(lon_col), F.col(lat_col), level)
