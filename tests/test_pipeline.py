@@ -168,6 +168,40 @@ class TestTiling:
         assert after_df.count() == before
         assert after_df.columns == tiled.columns
 
+    def test_tile_pyramid_child_merge_equals_direct(self, spark, points_sdf):
+        """The pyramid rolls each level up from its children (4->1);
+        recomputing every level directly from the points must give the
+        identical multiset — the floor/shift derivation is exact."""
+        from pyspark.sql import functions as F
+
+        pts = points_sdf.withColumn(
+            "zc", F.floor(F.col("elevation") * 100.0).cast("long"))
+        pyr = tiling.tile_pyramid(pts, "zc", finest=12, coarsest=8)
+        got = {tuple(r) for r in pyr.collect()}
+        want = set()
+        for lv in range(8, 13):
+            direct = (
+                pts.select(
+                    cells.tile_x_col(F.col("longitude"), lv).alias("tile_x"),
+                    cells.tile_y_col(F.col("latitude"), lv).alias("tile_y"),
+                    "zc")
+                .groupBy("tile_x", "tile_y")
+                .agg(F.count("*").alias("n_points"),
+                     F.sum("zc").alias("sum_v"),
+                     F.min("zc").alias("min_v"), F.max("zc").alias("max_v"))
+            )
+            want |= {(lv, r["tile_x"], r["tile_y"], r["n_points"],
+                      r["sum_v"], r["min_v"], r["max_v"])
+                     for r in direct.collect()}
+        assert got == want
+        # coarser levels can never have more occupied tiles than finer
+        per_level = {lv: sum(1 for t in got if t[0] == lv)
+                     for lv in range(8, 13)}
+        for lv in range(9, 13):
+            assert per_level[lv - 1] <= per_level[lv]
+        with pytest.raises(ValueError, match="level range"):
+            tiling.tile_pyramid(pts, "zc", finest=4, coarsest=8)
+
     def test_catalog_rollup_overall_equals_union_of_files(self, spark, points_sdf):
         roll = tiling.catalog_rollup(points_sdf).toPandas()
         overall = roll[roll["is_overall"]]

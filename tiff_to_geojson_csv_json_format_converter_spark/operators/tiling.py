@@ -63,6 +63,68 @@ def tile_histogram(points: DataFrame, level: int = DEFAULT_LEVEL) -> DataFrame:
     )
 
 
+def tile_pyramid(points: DataFrame, value_col: str, finest: int = 12,
+                 coarsest: int = 6, lon_col: str = "longitude",
+                 lat_col: str = "latitude") -> DataFrame:
+    """Multi-resolution mosaic pyramid (map-tile zoom levels): per-tile
+    stats at every level in [coarsest, finest], long format
+    (level, tile_x, tile_y, n_points, sum_v, min_v, max_v).
+
+    The 100 TB shape is the point: the point table is aggregated ONCE,
+    at the finest level (the only full-size shuffle); every coarser
+    level then merges its four children (``tile >> 1`` — exact, because
+    ``floor(u * 2^L) == floor(u * 2^(L+1)) >> 1`` for the IEEE
+    power-of-two scaling the tile formula uses), so the whole pyramid
+    costs ~1/3 extra on top of the finest level (geometric series),
+    instead of one full pass per zoom level. Only decomposable
+    aggregates survive a child merge — count/sum/min/max here;
+    distinct-image counts deliberately do NOT appear (an image spans
+    many child tiles; see the driver contract's -1 sentinel).
+
+    Every level is ``localCheckpoint(eager=False)``'d so the final
+    union reads each level's shuffle output once instead of
+    re-deriving the chain per branch (the exchange-reuse miss measured
+    on union branches under AQE, BENCH/r06_diag_phase.json). The
+    value column must already be integral (callers pass floor-scaled
+    cents) so sums stay exact int64 at any scale.
+    """
+    if coarsest < 0 or finest < coarsest:
+        raise ValueError(f"bad level range [{coarsest}, {finest}]")
+    lvl = (
+        points.select(
+            cells.tile_x_col(F.col(lon_col), finest).alias("tile_x"),
+            cells.tile_y_col(F.col(lat_col), finest).alias("tile_y"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.count("*").alias("n_points"), F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"), F.max("v").alias("max_v"),
+        )
+        .select(F.lit(finest).alias("level"), "tile_x", "tile_y",
+                "n_points", "sum_v", "min_v", "max_v")
+        .localCheckpoint(eager=False)
+    )
+    out = lvl
+    for level in range(finest - 1, coarsest - 1, -1):
+        lvl = (
+            lvl.groupBy(
+                F.shiftright("tile_x", 1).alias("tile_x"),
+                F.shiftright("tile_y", 1).alias("tile_y"),
+            )
+            .agg(
+                F.sum("n_points").alias("n_points"),
+                F.sum("sum_v").alias("sum_v"),
+                F.min("min_v").alias("min_v"), F.max("max_v").alias("max_v"),
+            )
+            .select(F.lit(level).alias("level"), "tile_x", "tile_y",
+                    "n_points", "sum_v", "min_v", "max_v")
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(lvl)
+    return out
+
+
 def catalog_rollup(points: DataFrame) -> DataFrame:
     """Per-image catalog entries plus the grand-total overall_bounds row
     (``rollup``): image_id = NULL row carries the catalog fold the

@@ -208,35 +208,93 @@ def q_stride_sample(spark, sf_dir):
     )
 
 
-@_register(
-    "tile_assign",
-    f"""
+def _pyramid_leg_sql(level: int) -> str:
+    """One zoom level of the pyramid oracle, recomputed INDEPENDENTLY
+    from the points (floor at that level's scale) — the Spark side
+    instead merges children 4->1, so a match proves the child-merge
+    derivation, not just the arithmetic."""
+    n = f"{float(1 << level)!r}e0"
+    return f"""
+    SELECT 'pyramid' AS kind, CAST({level} AS BIGINT) AS level,
+           CAST(FLOOR(((lon + 180.0e0) / 360.0e0) * {n}) AS BIGINT) AS tile_x,
+           CAST(FLOOR(((90.0e0 - lat) / 180.0e0) * {n}) AS BIGINT) AS tile_y,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(-1 AS BIGINT) AS n_images,
+           CAST(SUM(z) AS BIGINT) AS sum_elev,
+           CAST(MIN(z) AS BIGINT) AS min_elev,
+           CAST(MAX(z) AS BIGINT) AS max_elev
+    FROM base GROUP BY tile_x, tile_y
+    """
+
+
+_TILE_ASSIGN_SQL = f"""
     WITH pts AS ({_PTS_SQL}),
-    tiled AS (
-        SELECT CAST(FLOOR(((lon + 180.0e0) / 360.0e0) * 4096.0e0) AS BIGINT) * 4096
-             + CAST(FLOOR(((90.0e0 - lat) / 180.0e0) * 4096.0e0) AS BIGINT) AS tile_id,
-               image_id, z
+    base AS (
+        SELECT lon, lat, image_id, CAST(z AS BIGINT) AS z
         FROM pts WHERE valid
     )
-    SELECT tile_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+    SELECT 'assign' AS kind, CAST(12 AS BIGINT) AS level,
+           CAST(FLOOR(((lon + 180.0e0) / 360.0e0) * 4096.0e0) AS BIGINT) AS tile_x,
+           CAST(FLOOR(((90.0e0 - lat) / 180.0e0) * 4096.0e0) AS BIGINT) AS tile_y,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
            CAST(COUNT(DISTINCT image_id) AS BIGINT) AS n_images,
-           CAST(SUM(CAST(z AS BIGINT)) AS BIGINT) AS sum_elev
-    FROM tiled GROUP BY tile_id
-    """,
-)
+           CAST(SUM(z) AS BIGINT) AS sum_elev,
+           CAST(MIN(z) AS BIGINT) AS min_elev,
+           CAST(MAX(z) AS BIGINT) AS max_elev
+    FROM base GROUP BY tile_x, tile_y
+    {"".join("UNION ALL" + _pyramid_leg_sql(lv) for lv in range(12, 5, -1))}
+    """
+
+
+@_register("tile_assign", _TILE_ASSIGN_SQL)
 def q_tile_assign(spark, sf_dir):
-    """Tiling: level-12 tile assignment (engine Column twin, pure codegen)
-    + per-tile rollup — the north rule's tile-assignment identity."""
+    """Tiling tagged union: kind='assign' is the level-12 tile
+    assignment + per-tile rollup (engine Column twin, pure codegen —
+    the north rule's tile-assignment identity); kind='pyramid' is the
+    multi-resolution mosaic pyramid (tiling.tile_pyramid, zoom levels
+    12..6): the point table is aggregated once at level 12 and every
+    coarser level merges its four children JVM-side. The oracle
+    recomputes each level independently from the points, so a hash
+    match proves the 4->1 child-merge derivation. Pyramid rows carry
+    n_images = -1: distinct counts are NOT decomposable across a child
+    merge (an image spans many child tiles) and the contract records
+    that honestly rather than smuggling in a per-level repass."""
     pts = _pts(spark, sf_dir).filter("valid")
-    return (
-        pts.withColumn("tile_id", cells.tile_id_col(F.col("lon"), F.col("lat"), 12))
-        .groupBy("tile_id")
+    z = F.col("z").cast("long")
+    assign = (
+        pts.select(
+            cells.tile_x_col(F.col("lon"), 12).alias("tile_x"),
+            cells.tile_y_col(F.col("lat"), 12).alias("tile_y"),
+            z.alias("v"), "image_id",
+        )
+        .groupBy("tile_x", "tile_y")
         .agg(
             F.count("*").alias("n_points"),
             F.countDistinct("image_id").alias("n_images"),
-            F.sum(F.col("z").cast("long")).alias("sum_elev"),
+            F.sum("v").alias("sum_elev"),
+            F.min("v").alias("min_elev"),
+            F.max("v").alias("max_elev"),
+        )
+        .select(
+            F.lit("assign").alias("kind"),
+            F.lit(12).cast("long").alias("level"),
+            "tile_x", "tile_y", "n_points", "n_images",
+            "sum_elev", "min_elev", "max_elev",
         )
     )
+    pyr = tiling.tile_pyramid(
+        pts.withColumn("zc", z), "zc", finest=12, coarsest=6,
+        lon_col="lon", lat_col="lat",
+    ).select(
+        F.lit("pyramid").alias("kind"),
+        F.col("level").cast("long").alias("level"),
+        "tile_x", "tile_y", "n_points",
+        F.lit(-1).cast("long").alias("n_images"),
+        F.col("sum_v").alias("sum_elev"),
+        F.col("min_v").alias("min_elev"),
+        F.col("max_v").alias("max_elev"),
+    )
+    return assign.unionByName(pyr)
 
 
 # ---------------------------------------------------------------------------
