@@ -436,6 +436,9 @@ def test_cell_cover_adaptive_levels(spark):
     for lv, box in ((lv_small, (77.0, 28.0, 77.01, 28.01)),
                     (lv_big, (70.0, 20.0, 90.0, 35.0))):
         assert len(cells.cover_bbox(*box, lv)) <= 4096
+    # the cap is a promise: an unsatisfiable cap raises, never over-covers
+    with pytest.raises(ValueError, match="max_cover_cells"):
+        joins._auto_level(-180.0, -90.0, 180.0, 90.0, max_cover_cells=100)
 
 
 def test_cell_cover_scorers_agree_on_schema_and_fail_loudly(spark):

@@ -20,6 +20,8 @@ Two twin implementations are provided and tested equal:
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 import numpy as np
 
 try:  # Column-expression twin is optional at import time (numpy-only users)
@@ -158,6 +160,16 @@ def tile_y_col(lat: "Column", level: int) -> "Column":
     return F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor((F.lit(90.0) - lat) / F.lit(180.0) * F.lit(float(n))))).cast("long")
 
 
+@_lru_cache(maxsize=1)
+def _morton_table_sql() -> str:
+    """The 256-entry byte->spread-bits array literal, built once per
+    process (256 numpy spreads + a ~1.8 KB string join are pure
+    overhead to repeat per plan-construction call)."""
+    return "array(%s)" % ",".join(
+        str(int(_part1by1(np.array([b], dtype=np.uint64))[0])) + "L"
+        for b in range(256))
+
+
 def _part1by1_col(v: "Column") -> "Column":
     """Morton bit-spread as a Column expression via a 256-entry constant
     table, one lookup per input byte.
@@ -170,9 +182,7 @@ def _part1by1_col(v: "Column") -> "Column":
     references the operand 4x total; the array literal constant-folds
     to a single object in the codegen references, so generated code
     stays small and in whole-stage codegen."""
-    table = F.expr("array(%s)" % ",".join(
-        str(int(_part1by1(np.array([b], dtype=np.uint64))[0])) + "L"
-        for b in range(256)))
+    table = F.expr(_morton_table_sql())
     out = None
     for byte_i in range(4):  # 28-bit levels: 4 bytes cover tile_x/y
         b = F.shiftrightunsigned(v, 8 * byte_i).bitwiseAND(F.lit(255))
@@ -182,12 +192,20 @@ def _part1by1_col(v: "Column") -> "Column":
     return out
 
 
+def _morton_col(lon: "Column", lat: "Column", level: int) -> "Column":
+    """Interleaved morton(tile_x, tile_y) at ``level`` — the shared
+    core of every Column-side cell-id builder (single- and
+    multi-level), so the tile-floor + byte-table derivation exists in
+    exactly one place."""
+    return _part1by1_col(tile_x_col(lon, level)).bitwiseOR(
+        F.shiftleft(_part1by1_col(tile_y_col(lat, level)), 1))
+
+
 def cell_id_col(lon: "Column", lat: "Column", level: int) -> "Column":
     """int64 cell id as a pure Column expression — tile assignment stays
     inside Tungsten codegen; no Python is involved at any scale."""
-    tx = _part1by1_col(tile_x_col(lon, level))
-    ty = F.shiftleft(_part1by1_col(tile_y_col(lat, level)), 1)
-    return F.lit(level << 58).bitwiseOR(tx.bitwiseOR(ty)).cast("long")
+    return F.lit(level << 58).bitwiseOR(
+        _morton_col(lon, lat, level)).cast("long")
 
 
 def cell_id_multi_col(lon: "Column", lat: "Column",
@@ -209,8 +227,7 @@ def cell_id_multi_col(lon: "Column", lat: "Column",
     if not levels:
         raise ValueError("levels must be non-empty")
     finest = max(levels)
-    m = _part1by1_col(tile_x_col(lon, finest)).bitwiseOR(
-        F.shiftleft(_part1by1_col(tile_y_col(lat, finest)), 1))
+    m = _morton_col(lon, lat, finest)
     return [
         F.lit(lv << 58).bitwiseOR(
             F.shiftrightunsigned(m, 2 * (finest - lv))).cast("long")
@@ -237,17 +254,16 @@ def explode_cell_levels(df, lon: "Column", lat: "Column",
     if not levels:
         raise ValueError("levels must be non-empty")
     finest = max(levels)
-    m = _part1by1_col(tile_x_col(lon, finest)).bitwiseOR(
-        F.shiftleft(_part1by1_col(tile_y_col(lat, finest)), 1))
+    m = _morton_col(lon, lat, finest)
     entries = F.array(*[
         F.struct(F.lit(2 * (finest - lv)).alias("s"),
                  F.lit(lv << 58).alias("tag"))
         for lv in levels
     ])
     tmp_m, tmp_e = "_cell_lvl_m", "_cell_lvl_e"
-    for tmp in (tmp_m, tmp_e):
-        if tmp in df.columns:
-            raise ValueError(f"column {tmp!r} already present")
+    for name in (tmp_m, tmp_e, out):
+        if name in df.columns:
+            raise ValueError(f"column {name!r} already present")
     return (
         df.withColumn(tmp_m, m)
         .withColumn(tmp_e, F.explode(entries))

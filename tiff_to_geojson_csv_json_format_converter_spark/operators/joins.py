@@ -299,17 +299,17 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame,
         raise ValueError(f"unknown scorer {scorer!r} ('codegen' or 'arrow')")
     import json as _json
 
-    cand, lon_col, lat_col = cell_cover_candidates(
-        points, polygons, level, lon_col, lat_col, rings="none",
-        max_layer_rows=max_layer_rows, max_cover_cells=max_cover_cells)
     # the polygon layer is broadcast-small by construction (it rode a
     # broadcast join before this refactor) — collecting it once on the
     # driver is the same O(|polygons|) bound, and the broadcast variable
     # deserializes ONCE per worker instead of shipping geometry per row.
     # limit()+1 bounds the driver exposure BEFORE materializing anything:
     # one job either returns the whole layer or proves it's over the cap.
+    # The SAME collect also feeds the adaptive level-set derivation —
+    # level=None must not cost a second driver job over the layer.
     taken = polygons.select(
-        "polygon_id", F.get_json_object("geojson", "$.coordinates")
+        "polygon_id", F.get_json_object("geojson", "$.coordinates"),
+        "min_lon", "min_lat", "max_lon", "max_lat",
     ).limit(max_layer_rows + 1).collect()
     if len(taken) > max_layer_rows:
         raise ValueError(
@@ -317,6 +317,16 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame,
             f"the driver-collected broadcast; use scorer='codegen' "
             f"(executor-side broadcast join of parsed rings) for very "
             f"large layers")
+    levels_used = None
+    if level is None:
+        levels_used = sorted(
+            {_auto_level(r[2], r[3], r[4], r[5], max_cover_cells)
+             for r in taken}
+        ) or [_ADAPTIVE_LEVELS[0]]
+    cand, lon_col, lat_col = cell_cover_candidates(
+        points, polygons, level, lon_col, lat_col, rings="none",
+        max_layer_rows=max_layer_rows, max_cover_cells=max_cover_cells,
+        levels_used=levels_used)
     rings_map = {
         r[0]: [np.asarray(rr, dtype=np.float64)
                for rr in _json.loads(r[1])]
@@ -365,8 +375,12 @@ def _auto_level(min_lon: float, min_lat: float, max_lon: float,
     candidate count per polygon falls as ~cell_width * perimeter /
     area, while the cover table grows only to the cap. Pure function of
     the bbox, so the driver (choosing the point side's level set) and
-    the executors (covering each polygon) always agree."""
-    best = levels[0]
+    the executors (covering each polygon) always agree. Raises when the
+    cap is unsatisfiable even at the coarsest menu level (possible only
+    for caps below the coarsest level's worst-case cover, e.g.
+    ``max_cover_cells < 256`` with a world-spanning bbox) — the cap is
+    a promise, not a hint."""
+    best = None
     for lv in levels:
         x0, y1 = cells.tile_xy(np.array([min_lon]), np.array([min_lat]), lv)
         x1, y0 = cells.tile_xy(np.array([max_lon]), np.array([max_lat]), lv)
@@ -375,6 +389,11 @@ def _auto_level(min_lon: float, min_lat: float, max_lon: float,
             best = lv
         else:
             break
+    if best is None:
+        raise ValueError(
+            f"bbox ({min_lon}, {min_lat}, {max_lon}, {max_lat}) needs "
+            f"more than max_cover_cells={max_cover_cells} cells even at "
+            f"the coarsest menu level {levels[0]}")
     return best
 
 
@@ -383,7 +402,8 @@ def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
                           lon_col: str = "longitude",
                           lat_col: str = "latitude", rings: str = "none",
                           max_layer_rows: int = 250_000,
-                          max_cover_cells: int = 4096):
+                          max_cover_cells: int = 4096,
+                          levels_used: "list[int] | None" = None):
     """The candidate-generation stages of :func:`cell_cover_join`
     (polygon cell cover -> point cell key -> cell equi-join), without
     the final PIP refinement — factored out so the scaling diagnostics
@@ -397,7 +417,9 @@ def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
     :func:`_auto_level` — cell ids encode their level, so mixed-level
     covers share one equi-join key; the point side explodes to one
     cell id per level the layer uses (driver-derived from the layer's
-    bboxes, one tiny job bounded by ``max_layer_rows``).
+    bboxes, one tiny job bounded by ``max_layer_rows`` — or passed in
+    precomputed via ``levels_used`` by a caller that already collected
+    the layer, so the adaptive arrow path costs ONE driver job total).
 
     ``rings='none'`` (the arrow scorer's shape) keeps candidate rows
     geometry-free; ``'parsed'`` broadcast-joins the JVM-parsed
@@ -459,23 +481,24 @@ def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
         raise ValueError(
             f"unknown rings mode {rings!r} ('parsed' or 'none')")
     if level is None:
-        # derive the SET of levels this layer uses from its bboxes (a
-        # tiny driver job over the small side, capped like the geometry
-        # broadcast); each point then emits one codegen cell id per
-        # used level — its level-L row can only meet polygons covered
-        # at L, because cell ids encode the level
-        taken = polygons.select(
-            "min_lon", "min_lat", "max_lon", "max_lat"
-        ).limit(max_layer_rows + 1).collect()
-        if len(taken) > max_layer_rows:
-            raise ValueError(
-                f"polygon layer exceeds max_layer_rows={max_layer_rows} "
-                f"for adaptive cover levels; pass an explicit integer "
-                f"level for very large layers")
-        levels_used = sorted(
-            {_auto_level(r[0], r[1], r[2], r[3], max_cover_cells)
-             for r in taken}
-        ) or [_ADAPTIVE_LEVELS[0]]
+        if levels_used is None:
+            # derive the SET of levels this layer uses from its bboxes
+            # (a tiny driver job over the small side, capped like the
+            # geometry broadcast); each point then emits one codegen
+            # cell id per used level — its level-L row can only meet
+            # polygons covered at L, because cell ids encode the level
+            taken = polygons.select(
+                "min_lon", "min_lat", "max_lon", "max_lat"
+            ).limit(max_layer_rows + 1).collect()
+            if len(taken) > max_layer_rows:
+                raise ValueError(
+                    f"polygon layer exceeds max_layer_rows="
+                    f"{max_layer_rows} for adaptive cover levels; pass "
+                    f"an explicit integer level for very large layers")
+            levels_used = sorted(
+                {_auto_level(r[0], r[1], r[2], r[3], max_cover_cells)
+                 for r in taken}
+            ) or [_ADAPTIVE_LEVELS[0]]
         pts = _cells.explode_cell_levels(
             points, F.col(lon_col), F.col(lat_col), levels_used)
     else:
