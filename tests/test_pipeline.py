@@ -202,6 +202,35 @@ class TestTiling:
         with pytest.raises(ValueError, match="level range"):
             tiling.tile_pyramid(pts, "zc", finest=4, coarsest=8)
 
+    def test_tile_pyramid_hll_distinct_merges_across_levels(
+            self, spark, points_sdf):
+        """distinct_col adds a DataSketches HLL sketch that MERGES up
+        the pyramid (exact distinct counts cannot) — every level's
+        estimate must track the exact per-tile distinct image count."""
+        from pyspark.sql import functions as F
+
+        pts = points_sdf.withColumn(
+            "zc", F.floor(F.col("elevation") * 100.0).cast("long"))
+        pyr = tiling.tile_pyramid(pts, "zc", finest=12, coarsest=9,
+                                  distinct_col="image_id")
+        assert "hll" not in pyr.columns
+        got = {(r["level"], r["tile_x"], r["tile_y"]): r["approx_distinct"]
+               for r in pyr.collect()}
+        assert got  # non-empty
+        for lv in range(9, 13):
+            exact = (
+                pts.select(
+                    cells.tile_x_col(F.col("longitude"), lv).alias("tx"),
+                    cells.tile_y_col(F.col("latitude"), lv).alias("ty"),
+                    "image_id")
+                .groupBy("tx", "ty")
+                .agg(F.countDistinct("image_id").alias("nd"))
+            )
+            for r in exact.collect():
+                est = got[(lv, r["tx"], r["ty"])]
+                assert abs(est - r["nd"]) <= max(1, 0.05 * r["nd"]), (
+                    lv, r["tx"], r["ty"], est, r["nd"])
+
     def test_catalog_rollup_overall_equals_union_of_files(self, spark, points_sdf):
         roll = tiling.catalog_rollup(points_sdf).toPandas()
         overall = roll[roll["is_overall"]]
