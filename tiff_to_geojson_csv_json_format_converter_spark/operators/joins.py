@@ -312,17 +312,18 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame,
         "min_lon", "min_lat", "max_lon", "max_lat",
     ).limit(max_layer_rows + 1).collect()
     if len(taken) > max_layer_rows:
+        remedy = (
+            "pass an explicit integer level (adaptive levels also need "
+            "a driver pass over the layer)" if level is None else
+            "use scorer='codegen' (executor-side broadcast join of "
+            "parsed rings) for very large layers")
         raise ValueError(
             f"polygon layer exceeds max_layer_rows={max_layer_rows} for "
-            f"the driver-collected broadcast; use scorer='codegen' "
-            f"(executor-side broadcast join of parsed rings) for very "
-            f"large layers")
+            f"the driver-collected broadcast; {remedy}")
     levels_used = None
     if level is None:
-        levels_used = sorted(
-            {_auto_level(r[2], r[3], r[4], r[5], max_cover_cells)
-             for r in taken}
-        ) or [_ADAPTIVE_LEVELS[0]]
+        levels_used = _levels_for_bboxes(
+            [(r[2], r[3], r[4], r[5]) for r in taken], max_cover_cells)
     cand, lon_col, lat_col = cell_cover_candidates(
         points, polygons, level, lon_col, lat_col, rings="none",
         max_layer_rows=max_layer_rows, max_cover_cells=max_cover_cells,
@@ -395,6 +396,18 @@ def _auto_level(min_lon: float, min_lat: float, max_lon: float,
             f"more than max_cover_cells={max_cover_cells} cells even at "
             f"the coarsest menu level {levels[0]}")
     return best
+
+
+def _levels_for_bboxes(bboxes, max_cover_cells: int) -> list:
+    """The SET of adaptive cover levels a layer uses, from its bbox
+    rows — the ONE derivation both the arrow path (which already holds
+    the collected layer) and cell_cover_candidates (which collects just
+    the bboxes) must share, or the point side's level set could
+    silently diverge from the executors' per-polygon choices."""
+    return sorted(
+        {_auto_level(mn_lon, mn_lat, mx_lon, mx_lat, max_cover_cells)
+         for mn_lon, mn_lat, mx_lon, mx_lat in bboxes}
+    ) or [_ADAPTIVE_LEVELS[0]]
 
 
 def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
@@ -495,13 +508,14 @@ def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
                     f"polygon layer exceeds max_layer_rows="
                     f"{max_layer_rows} for adaptive cover levels; pass "
                     f"an explicit integer level for very large layers")
-            levels_used = sorted(
-                {_auto_level(r[0], r[1], r[2], r[3], max_cover_cells)
-                 for r in taken}
-            ) or [_ADAPTIVE_LEVELS[0]]
+            levels_used = _levels_for_bboxes(taken, max_cover_cells)
         pts = _cells.explode_cell_levels(
             points, F.col(lon_col), F.col(lat_col), levels_used)
     else:
+        if "cell" in points.columns:
+            # same loud contract as explode_cell_levels' guard: the
+            # join key must never silently clobber a caller column
+            raise ValueError("column 'cell' already present")
         pts = points.withColumn(
             "cell", _cells.cell_id_col(F.col(lon_col), F.col(lat_col), level)
         )
