@@ -26,6 +26,23 @@ def test_cell_roundtrip_and_parent_prefix(lon, lat, level):
         assert int(cells.parent(cid)[0]) == int(cells.cell_id(np.array([lon]), np.array([lat]), level - 1)[0])
 
 
+@settings(max_examples=50, deadline=None)
+@given(lon=finite_lon, lat=finite_lat,
+       coarse=st.integers(min_value=0, max_value=16),
+       delta=st.integers(min_value=0, max_value=12))
+def test_zorder_prefix_shift_derivation(lon, lat, coarse, delta):
+    """The derivation the multi-level Column builders rely on
+    (cells.cell_id_multi_col / explode_cell_levels): the morton code at
+    a coarser level IS the finer level's morton shifted right by twice
+    the level difference — for ANY coordinate, because IEEE
+    power-of-two scaling is exact so the tile floors commute with the
+    shift."""
+    fine = coarse + delta
+    m_fine = int(cells.cell_id(np.array([lon]), np.array([lat]), fine)[0]) & ((1 << 58) - 1)
+    m_coarse = int(cells.cell_id(np.array([lon]), np.array([lat]), coarse)[0]) & ((1 << 58) - 1)
+    assert m_coarse == m_fine >> (2 * delta)
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     lon=st.floats(min_value=60.1, max_value=89.9, allow_nan=False),
