@@ -168,6 +168,33 @@ class TestDedup:
         ham0 = pairs[(pairs["doc_a"] == 40) & (pairs["doc_b"] == 41)]["hamming"].iloc[0]
         assert ham0 == 0
 
+    def test_hamming_pairs_negative_hashes_and_threshold(self, spark):
+        """64-bit phashes use the int64 sign bit: unsigned band shifts
+        must handle negative values, and the exact verify must cut at
+        the threshold — checked against a brute-force expectation."""
+        vals = {
+            "a": -1,                       # all 64 bits set
+            "b": -1 ^ 0b101,               # hamming(a,b)=2
+            "c": -1 ^ ((1 << 11) - 1),     # hamming(a,c)=11 > 10: out
+            "d": 7,                        # far from all
+        }
+        df = spark.createDataFrame(list(vals.items()),
+                                   "image_id string, phash long")
+        got = dedup.phash_pairs(df, max_hamming=10).toPandas()
+        brute = {
+            tuple(sorted((x, y)))
+            for x in vals for y in vals if x < y
+            and bin(((vals[x] ^ vals[y]) & ((1 << 64) - 1))).count("1") <= 10
+        }
+        # (a,b)=2 and (b,c)=9 are in; (a,c)=11 is cut by the threshold
+        assert set(zip(got["doc_a"], got["doc_b"])) == brute == {
+            ("a", "b"), ("b", "c")}
+        ham = dict(zip(zip(got["doc_a"], got["doc_b"]), got["hamming"]))
+        assert ham == {("a", "b"): 2, ("b", "c"): 9}
+        # returned hashes are the original int64 values, sign intact
+        row = got[got["doc_a"] == "a"].iloc[0]
+        assert {row["sim_a"], row["sim_b"]} == {vals["a"], vals["b"]}
+
 
 class TestSimilarity:
     def test_brute_topk_matches_numpy(self, spark):

@@ -347,26 +347,29 @@ def _band_slices(total_bits: int, bands: int) -> list[tuple[int, int]]:
     return out
 
 
-def simhash_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= r via the pigeonhole band
-    join: split the 60 bits into r+1 bands; any pair within Hamming r
+def hamming_pairs(df: DataFrame, hash_col: str, id_col: str, bits: int,
+                  max_hamming: int = 3) -> DataFrame:
+    """All pairs with Hamming(hash) <= r via the pigeonhole band join:
+    split the ``bits`` bits into r+1 bands; any pair within Hamming r
     MUST agree exactly on >=1 band (pigeonhole THEOREM — candidate
     recall is exactly 1, not probabilistic), so the equi-join on
-    (band, band_bits) + exact Hamming verify is an exact operator."""
+    (band, band_bits) + exact Hamming verify is an exact operator. The
+    shared core of text simhash (60-bit) and image phash (64-bit)
+    near-dup; hashes with the top bit set (negative int64) are handled
+    via unsigned shifts. Returns (doc_a, doc_b, sim_a, sim_b, hamming)
+    with doc_a < doc_b."""
     bands = max_hamming + 1
-    sh = with_simhash(df, id_col, text_col)
-    banded = sh.select(
-        id_col, "simhash",
+    banded = df.select(
+        id_col, F.col(hash_col).alias("_h"),
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned("simhash", lo).bitwiseAND(F.lit((1 << w) - 1))
-                for lo, w in _band_slices(SIMHASH_BITS, bands)
+                F.shiftrightunsigned(hash_col, lo).bitwiseAND(F.lit((1 << w) - 1))
+                for lo, w in _band_slices(bits, bands)
             ])
         ).alias("band", "band_bits"),
     )
-    a = banded.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_bits")
-    b = banded.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_bits")
+    a = banded.select(F.col(id_col).alias("doc_a"), F.col("_h").alias("sim_a"), "band", "band_bits")
+    b = banded.select(F.col(id_col).alias("doc_b"), F.col("_h").alias("sim_b"), "band", "band_bits")
     cand = (
         a.join(b, ["band", "band_bits"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -375,6 +378,27 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return cand.withColumn("hamming", ham.cast("int")).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Near-dup TEXT pairs with Hamming(simhash) <= r — with_simhash +
+    the shared pigeonhole band join (:func:`hamming_pairs`)."""
+    return hamming_pairs(with_simhash(df, id_col, text_col), "simhash",
+                         id_col, SIMHASH_BITS, max_hamming)
+
+
+def phash_pairs(images: DataFrame, max_hamming: int = 10,
+                id_col: str = "image_id",
+                hash_col: str = "phash") -> DataFrame:
+    """Near-dup IMAGE pairs by perceptual-hash Hamming distance — the
+    image-corpus dedup a multimodal training pipeline runs before
+    anything expensive touches pixel data. The phash is 64-bit
+    (synth.phash64 / sources.tiff_dir compute it at ingest), so the
+    pair join never moves image bytes: r+1 pigeonhole bands over the
+    int64 column, exact recall by theorem, exact Hamming verify."""
+    return hamming_pairs(images.select(id_col, hash_col), hash_col,
+                         id_col, 64, max_hamming)
 
 
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",

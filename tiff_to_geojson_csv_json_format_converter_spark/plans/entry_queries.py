@@ -1747,12 +1747,108 @@ def _simhash_sql(max_hamming: int = 3) -> str:
     """
 
 
-@_register("simhash_pairs", _simhash_sql(3))
+_PHASH_DUP_IDS = [f"img_{i:08d}" for i in range(4)]
+# planted near-duplicates at CONTROLLED Hamming distances (bit masks
+# flip low bits only, never bit 63, so int64 sign is preserved): 2 and
+# 3 exercise multi-band candidate generation, 10 sits exactly ON the
+# threshold, 11 must be EXCLUDED by the exact verify — together they
+# prove the pigeonhole join's recall AND its cutoff, not just
+# exact-duplicate equality
+_PHASH_NEAR = [
+    ("near2_img_00000000", "img_00000000", (1 << 5) | (1 << 23)),
+    ("near3_img_00000001", "img_00000001", (1 << 0) | (1 << 17) | (1 << 33)),
+    ("near10_img_00000002", "img_00000002", sum(1 << b for b in range(40, 50))),
+    ("far11_img_00000003", "img_00000003", sum(1 << b for b in range(40, 51))),
+]
+
+
+def _phash_planted(ids: list, ph: list) -> list[tuple]:
+    """(id, phash) rows to append to the xs corpus — shared by the
+    engine side and the brute-force replay so both see the same data."""
+    out = []
+    for dup in _PHASH_DUP_IDS:
+        out.append((f"dup_{dup}", ph[ids.index(dup)]))
+    for new_id, base_id, mask in _PHASH_NEAR:
+        out.append((new_id, ph[ids.index(base_id)] ^ mask))
+    return out
+
+
+def _phash_pairs_rows(max_hamming: int = 10) -> list[tuple]:
+    """Independent brute-force replay of the image phash near-dup leg:
+    ALL O(n^2) Hamming distances over the xs corpus plus the planted
+    exact/near duplicates, single-process — a different algorithm from
+    the engine's pigeonhole band join, so a match proves the band
+    join's exact-recall theorem (and its threshold cutoff) in
+    practice."""
+    import numpy as np
+
+    n, sizes = synth.SCALES["xs"]
+    pdf = synth.generate_pandas(np.arange(n), n, sizes)
+    ids = list(pdf["image_id"])
+    ph = [int(x) for x in pdf["phash"]]
+    for new_id, val in _phash_planted(ids, ph):
+        ids.append(new_id)
+        ph.append(val)
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin((ph[i] ^ ph[j]) & ((1 << 64) - 1)).count("1")
+            if h <= max_hamming:
+                (a, sa), (b, sb) = sorted(((ids[i], ph[i]), (ids[j], ph[j])))
+                rows.append((f"'{a}'", f"'{b}'", sa, sb, h))
+    return sorted(rows)
+
+
+def _simhash_union_sql() -> str:
+    phash_leg = _values_sql(
+        _phash_pairs_rows(), "doc_a, doc_b, sim_a, sim_b, hamming")
+    return f"""
+    SELECT 'text' AS kind,
+           CAST(doc_a AS VARCHAR) AS doc_a, CAST(doc_b AS VARCHAR) AS doc_b,
+           sim_a, sim_b, hamming
+    FROM ({_simhash_sql(3)})
+    UNION ALL
+    SELECT 'phash' AS kind, doc_a, doc_b,
+           CAST(sim_a AS BIGINT) AS sim_a, CAST(sim_b AS BIGINT) AS sim_b,
+           CAST(hamming AS INT) AS hamming
+    FROM ({phash_leg})
+    """
+
+
+@_register("simhash_pairs", _simhash_union_sql())
 def q_simhash_pairs(spark, sf_dir):
-    """Dedup/SimHash: Hamming<=3 pairs via pigeonhole band join (exact by
-    theorem; the oracle replays the whole algorithm in SQL)."""
+    """Hamming near-dup tagged union over the shared pigeonhole band
+    join (dedup.hamming_pairs — exact recall by theorem):
+
+    - kind='text': SimHash Hamming<=3 pairs on the documents table; the
+      oracle replays the whole algorithm in SQL.
+    - kind='phash': 64-bit perceptual-hash Hamming<=10 pairs over the
+      xs image corpus plus four planted exact duplicates (ids
+      dup_img_*) — image dedup without ever shuffling image bytes; the
+      oracle is an independent brute-force all-pairs replay, so the
+      match proves the band join finds EVERY pair, not just the
+      planted ones."""
     docs = _load(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, max_hamming=3)
+    # doc ids are BIGINT, image ids strings: pin both legs to string or
+    # the union would coerce the image ids to numbers (runtime cast error)
+    text = dedup.simhash_pairs(docs, max_hamming=3).select(
+        F.lit("text").alias("kind"),
+        F.col("doc_a").cast("string").alias("doc_a"),
+        F.col("doc_b").cast("string").alias("doc_b"),
+        "sim_a", "sim_b", "hamming")
+    imgs = synth.images_df(spark, "xs").select("image_id", "phash")
+    import numpy as _np
+    n, sizes = synth.SCALES["xs"]
+    pdf = synth.generate_pandas(_np.arange(n), n, sizes)
+    planted = spark.createDataFrame(
+        _phash_planted(list(pdf["image_id"]),
+                       [int(x) for x in pdf["phash"]]),
+        "image_id string, phash long")
+    phash = dedup.phash_pairs(imgs.unionByName(planted),
+                              max_hamming=10).select(
+        F.lit("phash").alias("kind"),
+        "doc_a", "doc_b", "sim_a", "sim_b", "hamming")
+    return text.unionByName(phash)
 
 
 @_register(
