@@ -185,3 +185,59 @@ def test_windowed_geojson_cap_equals_full_then_filter(spark, images_sdf):
     ]
     key = lambda d: sorted(zip(d.image_id, d.band, d.pixel_idx))
     assert key(got_f) == key(want)
+
+
+def test_overview_chain_hand_fixture():
+    """The NoData-aware 2x2 box filter against hand-computed values:
+    a 4x5 grid (odd col truncated), one all-invalid quad, one
+    negative-sum quad (floor toward -inf), one partial quad."""
+    c = np.array([
+        [100, 200,   0,   0,  7],
+        [300, 400,   0,   0,  7],
+        [ -5,  -2,  10,  20,  7],
+        [  0,   0,  30,  40,  7],
+    ], dtype=np.int64)
+    v = np.array([
+        [1, 1, 0, 0, 1],
+        [1, 1, 0, 0, 1],
+        [1, 1, 1, 1, 1],
+        [0, 0, 1, 1, 1],
+    ], dtype=bool)
+    (p1, v1), (p2, v2) = extract.overview_chain(c, v, levels=5)
+    # quad A: mean(100,200,300,400)=250; quad B: all invalid -> 0/False;
+    # quad C: valid (-5,-2) -> floor(-7/2) = -4; quad D: full quad 25
+    np.testing.assert_array_equal(p1, [[250, 0], [-4, 25]])
+    np.testing.assert_array_equal(v1, [[True, False], [True, True]])
+    # level 2: single parent of (250,_,-4,25): floor(271/3) = 90
+    np.testing.assert_array_equal(p2, [[90]])
+    np.testing.assert_array_equal(v2, [[True]])
+    # chain stops when a dimension hits zero (1x1 cannot halve)
+    assert len(extract.overview_chain(c, v, levels=5)) == 2
+
+
+def test_build_overviews_matches_local_replay(spark, images_pdf, images_sdf):
+    """The distributed operator must equal the single-process replay of
+    the same kernel row-for-row (no lost/duplicated images, correct
+    batch handling)."""
+    got = extract.build_overviews(images_sdf, levels=3).toPandas()
+    want_rows = []
+    for img in images_pdf.to_dict("records"):
+        for band, lv, p, nv in extract.iter_overviews(
+                img["bytes"], img["fmt"], img["w"], img["h"],
+                img["band_count"], 3):
+            want_rows.append((img["image_id"], band, lv, p.shape[1],
+                              p.shape[0], int(nv.sum()), int(p[nv].sum())))
+    key_cols = ["image_id", "band", "level", "w", "h", "n_valid", "sum_cents"]
+    got_set = sorted(map(tuple, got[key_cols].itertuples(index=False)))
+    assert got_set == sorted(want_rows)
+
+
+def test_build_overviews_grids_roundtrip(spark, images_sdf):
+    """include_grids=True ships the actual overview arrays as npy bytes."""
+    import io
+
+    row = (extract.build_overviews(images_sdf.limit(4), levels=1,
+                                   include_grids=True)
+           .filter("level = 1").toPandas().iloc[0])
+    arr = np.load(io.BytesIO(row["grid"]))
+    assert arr.dtype == np.int64 and arr.shape == (row["h"], row["w"])

@@ -141,6 +141,109 @@ def _extract_image(
         yield band, bi, bl, bb, bz.astype(np.float64)
 
 
+def overview_chain(cents: np.ndarray, valid: np.ndarray,
+                   levels: int) -> list[tuple[np.ndarray, np.ndarray]]:
+    """NoData-aware 2x2 box-filter overview chain over an integer grid —
+    the per-image kernel of :func:`build_overviews`, pure numpy so the
+    digest oracle can replay it single-process and tests can pin it to
+    hand-computed fixtures.
+
+    Semantics (GDAL-overview-like, defined exactly so two engines agree
+    bit-for-bit): each parent pixel averages its up-to-4 VALID children
+    (``floor_divide`` — floors toward -inf for negative sums, a fixed
+    choice, not a float rounding); a parent with zero valid children is
+    itself invalid (value 0, mask False). Odd trailing rows/cols are
+    truncated (floor(w/2) x floor(h/2) per level, the COG convention).
+    Integer in, integer out: sums of cents stay exact int64 at any
+    depth."""
+    out = []
+    g, v = cents, valid
+    for _ in range(levels):
+        h2, w2 = g.shape[0] // 2, g.shape[1] // 2
+        if h2 == 0 or w2 == 0:
+            break
+        g4 = g[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2)
+        v4 = v[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2)
+        s = (g4 * v4).sum(axis=(1, 3), dtype=np.int64)
+        n = v4.sum(axis=(1, 3), dtype=np.int64)
+        nv = n > 0
+        p = np.zeros((h2, w2), dtype=np.int64)
+        p[nv] = np.floor_divide(s[nv], n[nv])
+        out.append((p, nv))
+        g, v = p, nv
+    return out
+
+
+def iter_overviews(buf: bytes, fmt: str, w: int, h: int, band_count: int,
+                   levels: int):
+    """Decode one image and yield (band, level, grid, valid_mask) for
+    every overview level — the ONE decode+quantize+chain path shared by
+    the Spark operator and the single-process digest-oracle replay, so
+    the driver contract checks the distributed plumbing against
+    literally the same kernel. Validity matches the extraction mask
+    exactly (u8: z > 0, else z > -1e30)."""
+    grid = codecs.decode(buf, fmt, w, h * band_count).reshape(
+        band_count, h, w)
+    for band in range(band_count):
+        z = grid[band].astype(np.float32)
+        valid = (z > 0) if grid.dtype == np.uint8 else (z > -1e30)
+        cents = np.zeros(z.shape, dtype=np.int64)
+        cents[valid] = np.floor(
+            z[valid].astype(np.float64) * 100.0).astype(np.int64)
+        for lv, (p, nv) in enumerate(
+                overview_chain(cents, valid, levels), start=1):
+            yield band, lv, p, nv
+
+
+def build_overviews(images_df, levels: int = 3,
+                    include_grids: bool = False):
+    """Per-image multi-resolution overviews (COG/map-server zoom-out
+    levels): every band's grid is cents-quantized and successively
+    halved with the NoData-aware integer box filter
+    (:func:`overview_chain`), one Arrow pass per image batch — the
+    image-axis twin of the cross-image mosaic pyramid
+    (``tiling.tile_pyramid``). Embarrassingly parallel (no shuffle:
+    each image's chain is local to its row), so it scales with the
+    scan. Emits (image_id, band, level, w, h, n_valid, sum_cents) per
+    level >= 1; ``include_grids=True`` appends the overview grid itself
+    as int64 ``.npy`` bytes (the artifact a tile server would store).
+    Validity matches the extraction mask exactly (u8: z > 0, else
+    z > -1e30), so level-0 totals tie out against the extract digests."""
+    schema = ("image_id string, band int, level int, w int, h int, "
+              "n_valid long, sum_cents long")
+    if include_grids:
+        schema += ", grid binary"
+
+    def run(batches):
+        import io
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "image_id", "band", "level", "w", "h", "n_valid",
+                "sum_cents") + (("grid",) if include_grids else ())}
+            for r in pdf.itertuples(index=False):
+                for band, lv, p, nv in iter_overviews(
+                        bytes(r.bytes), r.fmt, int(r.w), int(r.h),
+                        int(r.band_count), levels):
+                    rows["image_id"].append(r.image_id)
+                    rows["band"].append(band)
+                    rows["level"].append(lv)
+                    rows["h"].append(p.shape[0])
+                    rows["w"].append(p.shape[1])
+                    rows["n_valid"].append(int(nv.sum()))
+                    rows["sum_cents"].append(int(p[nv].sum()))
+                    if include_grids:
+                        buf = io.BytesIO()
+                        np.save(buf, p)
+                        rows["grid"].append(buf.getvalue())
+            yield pd.DataFrame(rows)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "band_count"]
+    return images_df.select(*cols).mapInPandas(run, schema)
+
+
 def bbox_pixel_window(transform, crs, w: int, h: int, bbox: tuple) -> tuple:
     """Map a lon/lat bbox to the (r0, r1, c0, c1) pixel window covering
     it (half-open, clamped, +1.5px pad).

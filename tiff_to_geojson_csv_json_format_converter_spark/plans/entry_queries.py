@@ -2555,7 +2555,7 @@ def _raster_digest_rows():
 
 
 def _raster_suite_rows() -> list[tuple]:
-    """All seven decode-pipeline digest contracts as ONE long-format row
+    """All eight decode-pipeline digest contracts as ONE long-format row
     set (variant, key, m1..m5); unused metric slots are 0. One VALUES
     oracle -> one driver row covers every contract (the driver checks at
     most 50 queries per round). Variants and their metric layout:
@@ -2576,6 +2576,9 @@ def _raster_suite_rows() -> list[tuple]:
     - ``empty_enum`` (B7+A12, willOnlyStoreValidPoints.py:74-95): key
       image_id; m1=per-image valid count over the FULL catalog —
       all-NoData images (i%16==7) appear with 0.
+    - ``overview`` (r6, extract.build_overviews): NoData-aware integer
+      box-filter pyramid; key 'image/band/level'; m1=n_valid, m2=w,
+      m3=h, m4=sum_cents.
     """
     import math
 
@@ -2635,6 +2638,22 @@ def _raster_suite_rows() -> list[tuple]:
         rows.append((f"'force'", f"'{s}/{band}'", len(v), 0, 0, 0, sum(v)))
     for s, c in sorted(enum_counts.items()):
         rows.append((f"'empty_enum'", f"'{s}'", c, 0, 0, 0, 0))
+
+    # overview (r6): NoData-aware integer box-filter pyramid per band —
+    # key 'image/band/level'; m1=n_valid, m2=w, m3=h, m4=sum_cents.
+    # Replays the SAME kernel the operator maps (extract.iter_overviews);
+    # the kernel itself is pinned to hand-computed fixtures in
+    # tests/test_extract.py.
+    from ..operators.extract import iter_overviews as _iter_ov
+
+    for img in pdf.to_dict("records"):
+        for band, lv, p, nv in _iter_ov(
+                img["bytes"], img["fmt"], img["w"], img["h"],
+                img["band_count"], 3):
+            rows.append((
+                f"'overview'", f"'{img['image_id']}/{band}/{lv}'",
+                int(nv.sum()), p.shape[1], p.shape[0], int(p[nv].sum()), 0,
+            ))
     return rows
 
 
@@ -2656,8 +2675,9 @@ def _as_suite(df: DataFrame, variant: str, key_cols: list, metrics: list) -> Dat
 
 @_register("raster_digest_suite", _RASTER_SUITE_SQL)
 def q_raster_digest_suite(spark, sf_dir):
-    """The seven decode-pipeline digest contracts (extract, tile, zonal,
-    window, stride, force, empty_enum — layout in _raster_suite_rows)
+    """The eight decode-pipeline digest contracts (extract, tile, zonal,
+    window, stride, force, empty_enum, overview — layout in
+    _raster_suite_rows)
     as one tagged long-format union, hard-checked against the
     single-process replay VALUES oracle. Every aggregate is an
     exactly-representable int64, so the comparison is order- and
@@ -2733,6 +2753,12 @@ def q_raster_digest_suite(spark, sf_dir):
         .na.fill({"n": 0})
     )
     parts.append(_as_suite(enum, "empty_enum", [F.col("image_id")], [F.col("n")]))
+
+    ov = extract.build_overviews(imgs, levels=3)
+    parts.append(_as_suite(
+        ov, "overview",
+        [F.col("image_id"), F.col("band"), F.col("level")],
+        [F.col("n_valid"), F.col("w"), F.col("h"), F.col("sum_cents")]))
 
     out = parts[0]
     for p in parts[1:]:
