@@ -194,6 +194,14 @@ class TestDedup:
         # returned hashes are the original int64 values, sign intact
         row = got[got["doc_a"] == "a"].iloc[0]
         assert {row["sim_a"], row["sim_b"]} == {vals["a"], vals["b"]}
+        # max_hamming=0 = exact-duplicate mode: ONE full-width 64-bit
+        # band (the all-ones mask doesn't fit a long literal — must not
+        # crash) and only identical hashes pair up
+        df0 = spark.createDataFrame(
+            [("a", -1), ("b", -1), ("c", 7)], "image_id string, phash long")
+        got0 = dedup.phash_pairs(df0, max_hamming=0).toPandas()
+        assert set(zip(got0["doc_a"], got0["doc_b"])) == {("a", "b")}
+        assert (got0["hamming"] == 0).all()
 
 
 class TestSimilarity:

@@ -359,13 +359,20 @@ def hamming_pairs(df: DataFrame, hash_col: str, id_col: str, bits: int,
     via unsigned shifts. Returns (doc_a, doc_b, sim_a, sim_b, hamming)
     with doc_a < doc_b."""
     bands = max_hamming + 1
+
+    def band_col(lo: int, w: int):
+        shifted = F.shiftrightunsigned(hash_col, lo)
+        if w >= 64:
+            # full-width band (max_hamming=0 on a 64-bit hash): the
+            # all-ones mask does not fit a long literal, and masking a
+            # 64-bit value with all 64 bits is the identity anyway
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
+
     banded = df.select(
         id_col, F.col(hash_col).alias("_h"),
         F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned(hash_col, lo).bitwiseAND(F.lit((1 << w) - 1))
-                for lo, w in _band_slices(bits, bands)
-            ])
+            F.array(*[band_col(lo, w) for lo, w in _band_slices(bits, bands)])
         ).alias("band", "band_bits"),
     )
     a = banded.select(F.col(id_col).alias("doc_a"), F.col("_h").alias("sim_a"), "band", "band_bits")

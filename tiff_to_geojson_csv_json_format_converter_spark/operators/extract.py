@@ -208,7 +208,11 @@ def build_overviews(images_df, levels: int = 3,
     level >= 1; ``include_grids=True`` appends the overview grid itself
     as int64 ``.npy`` bytes (the artifact a tile server would store).
     Validity matches the extraction mask exactly (u8: z > 0, else
-    z > -1e30), so level-0 totals tie out against the extract digests."""
+    z > -1e30). NOTE the quantization intentionally differs from the
+    extract digests: cents here are floor(raw_z * 100) — no output
+    rounding, because overviews summarize the raster itself, not the
+    rounded export rows — so overview sums are NOT comparable to the
+    extract digest sums."""
     schema = ("image_id string, band int, level int, w int, h int, "
               "n_valid long, sum_cents long")
     if include_grids:

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 from collections.abc import Callable
+from functools import lru_cache as _lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1762,6 +1763,19 @@ _PHASH_NEAR = [
 ]
 
 
+@_lru_cache(maxsize=1)
+def _xs_phashes() -> tuple:
+    """(ids, phashes) of the xs corpus, generated once per process —
+    both the oracle replay and the query construction need them, and
+    regenerating the corpus (grids + DCT + codec encode) per call is
+    pure repeated work."""
+    import numpy as np
+
+    n, sizes = synth.SCALES["xs"]
+    pdf = synth.generate_pandas(np.arange(n), n, sizes)
+    return tuple(pdf["image_id"]), tuple(int(x) for x in pdf["phash"])
+
+
 def _phash_planted(ids: list, ph: list) -> list[tuple]:
     """(id, phash) rows to append to the xs corpus — shared by the
     engine side and the brute-force replay so both see the same data."""
@@ -1780,12 +1794,8 @@ def _phash_pairs_rows(max_hamming: int = 10) -> list[tuple]:
     the engine's pigeonhole band join, so a match proves the band
     join's exact-recall theorem (and its threshold cutoff) in
     practice."""
-    import numpy as np
-
-    n, sizes = synth.SCALES["xs"]
-    pdf = synth.generate_pandas(np.arange(n), n, sizes)
-    ids = list(pdf["image_id"])
-    ph = [int(x) for x in pdf["phash"]]
+    xs_ids, xs_ph = _xs_phashes()
+    ids, ph = list(xs_ids), list(xs_ph)
     for new_id, val in _phash_planted(ids, ph):
         ids.append(new_id)
         ph.append(val)
@@ -1837,12 +1847,9 @@ def q_simhash_pairs(spark, sf_dir):
         F.col("doc_b").cast("string").alias("doc_b"),
         "sim_a", "sim_b", "hamming")
     imgs = synth.images_df(spark, "xs").select("image_id", "phash")
-    import numpy as _np
-    n, sizes = synth.SCALES["xs"]
-    pdf = synth.generate_pandas(_np.arange(n), n, sizes)
+    xs_ids, xs_ph = _xs_phashes()
     planted = spark.createDataFrame(
-        _phash_planted(list(pdf["image_id"]),
-                       [int(x) for x in pdf["phash"]]),
+        _phash_planted(list(xs_ids), list(xs_ph)),
         "image_id string, phash long")
     phash = dedup.phash_pairs(imgs.unionByName(planted),
                               max_hamming=10).select(
