@@ -241,3 +241,63 @@ def test_build_overviews_grids_roundtrip(spark, images_sdf):
            .filter("level = 1").toPandas().iloc[0])
     arr = np.load(io.BytesIO(row["grid"]))
     assert arr.dtype == np.int64 and arr.shape == (row["h"], row["w"])
+
+
+class TestTerrain:
+    def test_horn_tilted_plane_exact(self):
+        """On a perfect plane z = 3*col + 4*row the Horn stencil
+        recovers the gradient exactly: slope = atan(5), aspect fixed."""
+        from tiff_to_geojson_csv_json_format_converter_spark.operators import terrain
+
+        rr, cc = np.mgrid[0:6, 0:7]
+        z = (3.0 * cc + 4.0 * rr).astype(np.float32)
+        valid = np.ones_like(z, dtype=bool)
+        slope, aspect, ok = terrain.horn_slope_aspect(z, valid, 1.0, 1.0)
+        assert ok.all() and slope.shape == (4, 5)
+        want_slope = np.degrees(np.arctan(np.hypot(3.0, 4.0)))
+        want_aspect = np.mod(np.degrees(np.arctan2(4.0, -3.0)) + 360.0, 360.0)
+        np.testing.assert_allclose(slope, want_slope, rtol=1e-12)
+        np.testing.assert_allclose(aspect, want_aspect, rtol=1e-12)
+
+    def test_horn_nodata_poisons_neighborhood(self):
+        """A single NoData cell invalidates exactly the 3x3 interior
+        pixels whose stencil touches it — no gradient across holes."""
+        from tiff_to_geojson_csv_json_format_converter_spark.operators import terrain
+
+        z = np.ones((5, 5), dtype=np.float32)
+        valid = np.ones_like(z, dtype=bool)
+        valid[2, 2] = False
+        _, _, ok = terrain.horn_slope_aspect(z, valid, 1.0, 1.0)
+        # interior is 3x3 (indices 1..3 of the grid); the center cell
+        # (2,2) touches every one of them
+        assert not ok.any()
+        valid[:] = True
+        valid[0, 0] = False
+        _, _, ok = terrain.horn_slope_aspect(z, valid, 1.0, 1.0)
+        assert not ok[0, 0] and ok.sum() == 8
+
+    def test_terrain_points_matches_replay_and_pushdown(self, spark, images_pdf, images_sdf):
+        """Distributed terrain rows == single-process replay of the same
+        kernel; the slope_min pushdown returns exactly the >= subset."""
+        from tiff_to_geojson_csv_json_format_converter_spark.operators import terrain
+
+        got = terrain.terrain_points(images_sdf).toPandas()
+        want = []
+        for img in images_pdf.to_dict("records"):
+            for band, slope, aspect, ok in terrain.iter_terrain(
+                    img["bytes"], img["fmt"], img["w"], img["h"],
+                    img["band_count"], list(img["transform"])):
+                sc = np.floor(slope * 100.0).astype(np.int64)
+                ac = np.floor(aspect * 100.0).astype(np.int64)
+                rr, cc = np.nonzero(ok)
+                for r_, c_ in zip(rr, cc):
+                    want.append((img["image_id"], band,
+                                 (r_ + 1) * img["w"] + (c_ + 1),
+                                 int(sc[r_, c_]), int(ac[r_, c_])))
+        key = ["image_id", "band", "pixel_idx", "slope_centideg", "aspect_centideg"]
+        assert sorted(map(tuple, got[key].itertuples(index=False))) == sorted(want)
+        thresh = int(np.median(got["slope_centideg"])) if len(got) else 0
+        steep = terrain.terrain_points(images_sdf, slope_min_centideg=thresh).toPandas()
+        want_steep = got[got["slope_centideg"] >= thresh]
+        assert sorted(map(tuple, steep[key].itertuples(index=False))) == \
+               sorted(map(tuple, want_steep[key].itertuples(index=False)))

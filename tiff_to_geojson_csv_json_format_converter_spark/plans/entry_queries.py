@@ -2562,7 +2562,7 @@ def _raster_digest_rows():
 
 
 def _raster_suite_rows() -> list[tuple]:
-    """All eight decode-pipeline digest contracts as ONE long-format row
+    """All nine decode-pipeline digest contracts as ONE long-format row
     set (variant, key, m1..m5); unused metric slots are 0. One VALUES
     oracle -> one driver row covers every contract (the driver checks at
     most 50 queries per round). Variants and their metric layout:
@@ -2586,6 +2586,10 @@ def _raster_suite_rows() -> list[tuple]:
     - ``overview`` (r6, extract.build_overviews): NoData-aware integer
       box-filter pyramid; key 'image/band/level'; m1=n_valid, m2=w,
       m3=h, m4=sum_cents.
+    - ``terrain`` (r6, terrain.terrain_points): Horn slope/aspect over
+      interior pixels with full valid neighborhoods; key 'image/band';
+      m1=n_ok, m2=sum_slope_centideg, m3=max_slope_centideg,
+      m4=sum_aspect_centideg, m5=sum_pixel_idx.
     """
     import math
 
@@ -2661,6 +2665,29 @@ def _raster_suite_rows() -> list[tuple]:
                 f"'overview'", f"'{img['image_id']}/{band}/{lv}'",
                 int(nv.sum()), p.shape[1], p.shape[0], int(p[nv].sum()), 0,
             ))
+
+    # terrain (r6): Horn slope/aspect — key 'image/band'; m1=n_ok,
+    # m2=sum_slope_centideg, m3=max_slope_centideg,
+    # m4=sum_aspect_centideg, m5=sum_pixel_idx (pins WHICH interior
+    # pixels survived the NoData-neighborhood rule).
+    from ..operators.terrain import iter_terrain as _iter_tr
+
+    for img in pdf.to_dict("records"):
+        w = img["w"]
+        for band, slope, aspect, ok in _iter_tr(
+                img["bytes"], img["fmt"], w, img["h"],
+                img["band_count"], list(img["transform"])):
+            if not ok.any():
+                continue
+            sc = np.floor(slope * 100.0).astype(np.int64)[ok]
+            ac = np.floor(aspect * 100.0).astype(np.int64)[ok]
+            rr, cc = np.nonzero(ok)
+            idx = (rr + 1) * w + (cc + 1)
+            rows.append((
+                f"'terrain'", f"'{img['image_id']}/{band}'",
+                int(ok.sum()), int(sc.sum()), int(sc.max()),
+                int(ac.sum()), int(idx.sum()),
+            ))
     return rows
 
 
@@ -2682,8 +2709,8 @@ def _as_suite(df: DataFrame, variant: str, key_cols: list, metrics: list) -> Dat
 
 @_register("raster_digest_suite", _RASTER_SUITE_SQL)
 def q_raster_digest_suite(spark, sf_dir):
-    """The eight decode-pipeline digest contracts (extract, tile, zonal,
-    window, stride, force, empty_enum, overview — layout in
+    """The nine decode-pipeline digest contracts (extract, tile, zonal,
+    window, stride, force, empty_enum, overview, terrain — layout in
     _raster_suite_rows)
     as one tagged long-format union, hard-checked against the
     single-process replay VALUES oracle. Every aggregate is an
@@ -2766,6 +2793,20 @@ def q_raster_digest_suite(spark, sf_dir):
         ov, "overview",
         [F.col("image_id"), F.col("band"), F.col("level")],
         [F.col("n_valid"), F.col("w"), F.col("h"), F.col("sum_cents")]))
+
+    from ..operators import terrain as _terrain
+
+    tr = _terrain.terrain_points(imgs).groupBy("image_id", "band").agg(
+        F.count("*").alias("n_ok"),
+        F.sum("slope_centideg").alias("ssl"),
+        F.max("slope_centideg").alias("msl"),
+        F.sum("aspect_centideg").alias("sas"),
+        F.sum("pixel_idx").alias("spx"),
+    )
+    parts.append(_as_suite(
+        tr, "terrain", [F.col("image_id"), F.col("band")],
+        [F.col("n_ok"), F.col("ssl"), F.col("msl"), F.col("sas"),
+         F.col("spx")]))
 
     out = parts[0]
     for p in parts[1:]:
