@@ -157,3 +157,57 @@ def test_glob_to_like_matches_fnmatch(pat, s):
     like_match = re.fullmatch("".join(rx), s, flags=re.DOTALL) is not None
     want = fnmatch.fnmatchcase(s, pat)
     assert like_match == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_overview_chain_invariants(data):
+    """For ANY grid+mask: a parent is valid iff it has a valid child;
+    a valid parent's value sits within [min, max] of its valid
+    children (integer mean cannot escape the hull); valid-count is
+    non-increasing down the chain."""
+    from tiff_to_geojson_csv_json_format_converter_spark.operators import extract
+
+    h = data.draw(st.integers(min_value=2, max_value=9))
+    w = data.draw(st.integers(min_value=2, max_value=9))
+    cents = np.array(data.draw(st.lists(
+        st.integers(min_value=-10**6, max_value=10**6),
+        min_size=h * w, max_size=h * w))).reshape(h, w)
+    valid = np.array(data.draw(st.lists(
+        st.booleans(), min_size=h * w, max_size=h * w))).reshape(h, w)
+    chain = extract.overview_chain(cents, valid, levels=4)
+    g, v = cents, valid
+    for p, nv in chain:
+        h2, w2 = p.shape
+        g4 = g[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2)
+        v4 = v[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2)
+        np.testing.assert_array_equal(nv, v4.any(axis=(1, 3)))
+        for i in range(h2):
+            for j in range(w2):
+                if nv[i, j]:
+                    kids = g4[i, :, j, :][v4[i, :, j, :]]
+                    assert kids.min() <= p[i, j] <= kids.max()
+        assert nv.sum() <= v.sum()
+        g, v = p, nv
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_horn_slope_aspect_ranges_and_shift_invariance(data):
+    """Slope is always in [0, 90], aspect in [0, 360), and both are
+    invariant under adding a constant to the elevation field."""
+    from tiff_to_geojson_csv_json_format_converter_spark.operators import terrain
+
+    h = data.draw(st.integers(min_value=3, max_value=8))
+    w = data.draw(st.integers(min_value=3, max_value=8))
+    z = np.array(data.draw(st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False,
+                  width=32),
+        min_size=h * w, max_size=h * w)), dtype=np.float32).reshape(h, w)
+    valid = np.ones((h, w), dtype=bool)
+    s1, a1, ok = terrain.horn_slope_aspect(z, valid, 1.0, 1.0)
+    assert ok.all()
+    assert (s1 >= 0).all() and (s1 <= 90).all()
+    assert (a1 >= 0).all() and (a1 < 360).all()
+    s2, a2, _ = terrain.horn_slope_aspect(z + np.float32(500.0), valid, 1.0, 1.0)
+    np.testing.assert_allclose(s1, s2, atol=1e-3)
