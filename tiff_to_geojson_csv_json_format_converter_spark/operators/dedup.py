@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _P61 = (1 << 61) - 1
@@ -141,11 +141,17 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold_e6: int = 500_000,
     # before the (embarrassingly parallel) shingling explode
     sh = shingles(df.repartition(n_parts), n, id_col, text_col, tuple(extra)) \
         .withColumn("sh64", F.xxhash64("shingle")).drop("shingle")
-    dfreq = sh.groupBy("sh64").agg(F.count("*").alias("df"))
+    # document frequency per shingle as a WINDOW count, not
+    # groupBy+join: the join form plans the shingle explode TWICE (the
+    # aggregate side is an independent subtree) and pays two exchanges
+    # on sh64 where the window pays one (guide §2.4 — two operations
+    # keyed the same way share one exchange). Same values: count over
+    # partitionBy(sh64) == the joined groupBy(sh64) count.
+    dfw = Window.partitionBy("sh64")
     # ceil(t*size) in exact integer arithmetic
     t_size = (F.lit(threshold_e6) * F.col("set_size") + F.lit(999_999)) / F.lit(1_000_000)
     per_doc = (
-        sh.join(dfreq, "sh64")
+        sh.withColumn("df", F.count("*").over(dfw))
         .groupBy(id_col, *extra)
         .agg(F.sort_array(F.collect_list(F.struct("df", "sh64"))).alias("ordered"))
         .withColumn("set_size", F.size("ordered").cast("long"))
