@@ -326,24 +326,32 @@ def _pack_vec_udf(scale: int):
 
     @F.pandas_udf("binary")
     def pack(col: pd.Series) -> pd.Series:
-        out = []
-        for v in col:
-            q = np.floor(np.asarray(v, dtype=np.float64) * scale)
-            if q.size and not np.isfinite(q).all():
-                raise ValueError(
-                    "non-finite embedding value (NaN/inf) on the binary "
-                    "wire — clean the corpus or use wire='array'"
-                )
-            lo, hi = q.min() if q.size else 0.0, q.max() if q.size else 0.0
-            if -32768.0 <= lo and hi <= 32767.0:
-                out.append(b"\x02" + q.astype("<i2").tobytes())
-            elif -2147483648.0 <= lo and hi <= 2147483647.0:
-                out.append(b"\x04" + q.astype("<i4").tobytes())
-            else:
-                out.append(b"\x08" + q.astype("<i8").tobytes())
-        return pd.Series(out, dtype=object)
+        return pd.Series(_pack_rows(col, scale), dtype=object)
 
     return pack
+
+
+def _pack_rows(col, scale: int) -> list:
+    """The pack kernel body of :func:`_pack_vec_udf`, callable from any
+    Arrow kernel that already holds the vectors (e.g. the IVF
+    assignment pass packs in the same sweep instead of paying a second
+    Arrow pass + join to attach vectors)."""
+    out = []
+    for v in col:
+        q = np.floor(np.asarray(v, dtype=np.float64) * scale)
+        if q.size and not np.isfinite(q).all():
+            raise ValueError(
+                "non-finite embedding value (NaN/inf) on the binary "
+                "wire — clean the corpus or use wire='array'"
+            )
+        lo, hi = q.min() if q.size else 0.0, q.max() if q.size else 0.0
+        if -32768.0 <= lo and hi <= 32767.0:
+            out.append(b"\x02" + q.astype("<i2").tobytes())
+        elif -2147483648.0 <= lo and hi <= 2147483647.0:
+            out.append(b"\x04" + q.astype("<i4").tobytes())
+        else:
+            out.append(b"\x08" + q.astype("<i8").tobytes())
+    return out
 
 
 def _unpack_f64(col) -> np.ndarray:
@@ -828,11 +836,22 @@ def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 10
     either way (probing is what bounds recall; with
     n_probe == n_centroids the result is exact regardless of training).
 
-    ``wire``: transport for the exact re-rank stage (see
-    :func:`exact_rerank_topk`) — 'auto' picks the width-tagged int16
-    binary wire at dim >= 128, where ``array<long>`` cells' per-element
-    shuffle conversion becomes the stage bottleneck. Results are
-    bit-equal on either wire.
+    ``wire='auto'`` (default) runs the GROUPED posting-list re-rank:
+    the assignment Arrow pass emits each vector once as a packed
+    binary member row of its own list plus ``n_probe`` packed query
+    replicas; one kernel per (list, query-sub-bucket) scores the
+    (queries x members) cell with ONE exact matmul and emits only its
+    per-query local top-k, so vectors cross the shuffle
+    O(n * (1 + n_probe)) times instead of once per candidate PAIR
+    (n * n_probe * avg_list_len with the per-pair join), and the
+    global window ranks n * n_probe * k rows instead of every
+    candidate. Any global top-k neighbor lives in exactly one probed
+    list and survives that list's local top-k under the same
+    (cos desc, id asc) order, so the result is identical to the
+    per-pair re-rank (same quantize + IEEE scoring tree; asserted in
+    tests). ``wire='array'``/``'binary'`` force the per-pair
+    :func:`exact_rerank_topk` transports instead — bit-equal, kept as
+    the cross-checkable reference paths.
     """
     import numpy as np
 
@@ -854,6 +873,9 @@ def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 10
     spark = df.sparkSession
     b_C = spark.sparkContext.broadcast(C)
 
+    if wire == "auto":
+        return _ivf_grouped_rerank(df, C, b_C, k, n_probe, id_col, vec_col)
+
     def assign_centroid(batches):
         CC = b_C.value
         for pdf in batches:
@@ -867,23 +889,113 @@ def ivf_topk(df: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 10
                 "probe_lists": list(order[:, :n_probe].astype(np.int32)),
             })
 
+    # the assignment frame feeds BOTH candidate sides — checkpoint so
+    # the Arrow assignment pass runs once, not once per join branch
     assigned = df.select(id_col, vec_col).mapInPandas(
         assign_centroid, "id long, list_id int, probe_lists array<int>"
-    )
+    ).localCheckpoint(eager=False)
     corpus = assigned.select(F.col("id").alias("neighbor_id"), F.col("list_id"))
     probes = assigned.select(F.col("id").alias("query_id"), F.explode("probe_lists").alias("list_id"))
+    # no dropDuplicates: every vector belongs to exactly ONE list and a
+    # query's probed lists are distinct (argsort prefix), so a
+    # (query, neighbor) pair can arise from at most one (list) join row
     cand = (
         probes.join(corpus, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .dropDuplicates()
     )
     # the trained centroid matrix already knows the dim driver-side —
     # resolve 'auto' here so the rerank never pays its head() probe job
-    if wire == "auto":
-        wire = "binary" if C.shape[1] >= 128 else "array"
     return exact_rerank_topk(df, cand, k, id_col=id_col, vec_col=vec_col,
                              wire=wire)
+
+
+def _ivf_grouped_rerank(df: DataFrame, C, b_C, k: int, n_probe: int,
+                        id_col: str, vec_col: str, scale: int = 1000) -> DataFrame:
+    """The default IVF re-rank: one scoring cell per (posting list,
+    query sub-bucket), exact matmul per cell, local top-k, then a small
+    global window. See :func:`ivf_topk`'s docstring for the cost model;
+    exactness is the shared :func:`_exact_dots_norms` + FLOOR tree.
+
+    Query rows are sub-bucketed ``id % S`` with members replicated to
+    every sub-bucket so one hot list spreads over S tasks; S adapts to
+    the session's parallelism (S=1 once n_centroids >= 2*cores, the
+    100 TB regime where lists outnumber tasks anyway)."""
+    spark = df.sparkSession
+    n_centroids = len(C)
+    n_parts = spark.sparkContext.defaultParallelism
+    S = max(1, -(-2 * n_parts // max(n_centroids, 1)))
+
+    def assign_pack(batches):
+        CC = b_C.value
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(Xn @ CC.T), axis=1)
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            packed = _pack_rows(pdf[vec_col], scale)
+            npb = min(n_probe, order.shape[1])
+            out = {"side": [], "list_id": [], "sub": [], "id": [], "pvec": []}
+            for i in range(len(ids)):
+                own = int(order[i, 0])
+                for s in range(S):  # member row -> every sub-bucket
+                    out["side"].append("c")
+                    out["list_id"].append(own)
+                    out["sub"].append(s)
+                    out["id"].append(int(ids[i]))
+                    out["pvec"].append(packed[i])
+                qs = int(ids[i]) % S
+                for j in range(npb):  # query replica per probed list
+                    out["side"].append("q")
+                    out["list_id"].append(int(order[i, j]))
+                    out["sub"].append(qs)
+                    out["id"].append(int(ids[i]))
+                    out["pvec"].append(packed[i])
+            yield pd.DataFrame(out)
+
+    rep = df.select(id_col, vec_col).mapInPandas(
+        assign_pack, "side string, list_id int, sub int, id long, pvec binary"
+    )
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["side"] == "q"]
+        cs = pdf[pdf["side"] == "c"]
+        if len(qs) == 0 or len(cs) == 0:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "dot_q": pd.Series(dtype="int64"),
+                "cos_e6": pd.Series(dtype="int64"),
+            })
+        Q = _unpack_f64(qs["pvec"])
+        M = _unpack_f64(cs["pvec"])
+        qids = qs["id"].to_numpy()
+        mids = cs["id"].to_numpy()
+        dots, dots_f, qn2, mn2 = _exact_dots_norms(Q, M)
+        cos_e6 = np.floor(
+            dots_f / np.sqrt(qn2[:, None] * mn2[None, :]) * 1e6
+        ).astype(np.int64)
+        out = {"query_id": [], "neighbor_id": [], "dot_q": [], "cos_e6": []}
+        for r in range(len(qids)):
+            cand = np.flatnonzero(mids != qids[r])
+            key = np.lexsort((mids[cand], -cos_e6[r, cand]))
+            sel = cand[key[:k]]
+            out["query_id"].extend([int(qids[r])] * len(sel))
+            out["neighbor_id"].extend(int(mids[j]) for j in sel)
+            out["dot_q"].extend(int(dots[r, j]) for j in sel)
+            out["cos_e6"].extend(int(cos_e6[r, j]) for j in sel)
+        return pd.DataFrame(out)
+
+    local = rep.repartition(max(n_parts, n_centroids * S), "list_id", "sub").mapInPandas(
+        _bucketed_kernel(["list_id", "sub"], cell),
+        "query_id long, neighbor_id long, dot_q long, cos_e6 long",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_e6"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "cos_e6", "rank")
+    )
 
 
 def lsh_planes_int(n_tables: int = 4, n_planes: int = 16, dim: int = 64,
