@@ -593,11 +593,14 @@ def knn_join(
                 rows.append({"query_id": qid, "_cells": ring.tolist()})
             yield pd.DataFrame(rows)
 
+    # no repartition here: the candidate-cell side is the SMALL side (a
+    # few ring cells per query) and ends up broadcast — a shuffle in
+    # front of a BroadcastExchange is pure wasted wall-clock (plan-
+    # verified: Exchange feeding BroadcastExchange, r07 plans)
     cand_cells = (
         queries.select("query_id", qlon, qlat)
         .mapInPandas(ring_cells, "query_id string, _cells array<long>")
         .select("query_id", F.explode("_cells").alias("_cell"))
-        .repartition(n_parts, "query_id", "_cell")
     )
     q = queries.select("query_id", F.col(qlon).alias("_qlon"), F.col(qlat).alias("_qlat"))
     id_cols = [c for c in points.columns if c in ("image_id", "pixel_idx", "band")]
