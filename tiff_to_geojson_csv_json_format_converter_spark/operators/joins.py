@@ -445,7 +445,8 @@ def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
 
     def cover(pdf_iter):
         for pdf in pdf_iter:
-            rows = {"cell": [], "polygon_id": [], "interior": []}
+            rows = {"cell": [], "polygon_id": [], "interior": [],
+                    "bx0": [], "by0": [], "bx1": [], "by1": []}
             for r in pdf.itertuples(index=False):
                 lv = level if level is not None else _auto_level(
                     r.min_lon, r.min_lat, r.max_lon, r.max_lat,
@@ -460,18 +461,29 @@ def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
                 # O(boundary cells), not O(polygon area)
                 boxes = np.array([_cells.cell_bounds(int(c)) for c in cover_cells])
                 interior = geometry.classify_cells_interior(boxes, rings_list)
-                for c, it in zip(cover_cells.tolist(), interior.tolist()):
-                    rows["cell"].append(c)
-                    rows["polygon_id"].append(r.polygon_id)
-                    rows["interior"].append(it)
+                nc = len(cover_cells)
+                rows["cell"].extend(cover_cells.tolist())
+                rows["polygon_id"].extend([r.polygon_id] * nc)
+                rows["interior"].extend(interior.tolist())
+                # the polygon's exact bbox rides on each cover row so the
+                # join can drop bbox-outside candidates in codegen BEFORE
+                # the scorer: cover cells are coarse, so most boundary-
+                # cell points are outside the polygon bbox and can never
+                # be PIP-inside (zero crossings) — filtering them is
+                # result-preserving and shrinks the Arrow transfer
+                rows["bx0"].extend([r.min_lon] * nc)
+                rows["by0"].extend([r.min_lat] * nc)
+                rows["bx1"].extend([r.max_lon] * nc)
+                rows["by1"].extend([r.max_lat] * nc)
             yield pd.DataFrame(rows)
 
-    # (cell, polygon_id, interior) only — the rings geometry would
+    # (cell, polygon_id, interior, bbox) only — the rings geometry would
     # otherwise be duplicated into every covering-cell row and shuffled
     # cover-size times; it is re-attached AFTER the cell join by a
     # broadcast join on polygon_id (one copy per executor, not per row)
     poly_cells = polygons.mapInPandas(
-        cover, "cell long, polygon_id string, interior boolean"
+        cover, "cell long, polygon_id string, interior boolean, "
+               "bx0 double, by0 double, bx1 double, by1 double"
     )
     coords = F.get_json_object("geojson", "$.coordinates")
     if rings == "parsed":
@@ -519,7 +531,18 @@ def cell_cover_candidates(points: DataFrame, polygons: DataFrame,
         pts = points.withColumn(
             "cell", _cells.cell_id_col(F.col(lon_col), F.col(lat_col), level)
         )
-    cand = pts.join(poly_cells, "cell")
+    cand = (
+        pts.join(poly_cells, "cell")
+        # bbox prune (codegen, before any scorer): a point outside the
+        # polygon's bbox has zero ray crossings, so dropping it cannot
+        # change the join result; interior-cell rows skip the test
+        .filter(
+            F.col("interior")
+            | ((F.col(lon_col) >= F.col("bx0")) & (F.col(lon_col) <= F.col("bx1"))
+               & (F.col(lat_col) >= F.col("by0")) & (F.col(lat_col) <= F.col("by1")))
+        )
+        .drop("bx0", "by0", "bx1", "by1")
+    )
     if rings_df is not None:
         cand = cand.join(F.broadcast(rings_df), "polygon_id")
     return cand, lon_col, lat_col
