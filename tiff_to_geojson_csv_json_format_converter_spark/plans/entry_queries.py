@@ -2483,15 +2483,16 @@ def q_multi_root_scan(spark, sf_dir):
                     rows, columns=["kind", "root_priority", "root", "path"]
                 )
 
-    # 15 fixed fixture cases -> ONE python worker via repartition(1),
-    # NOT coalesce(1): coalesce merges the 32 parallelize slices into a
-    # single task that evaluates each python-backed parent partition
-    # through its own sequential Python-runner handshake (~3.5s of pure
-    # overhead, measured); the repartition shuffle collapses them
-    # JVM-side first (~0.45s total)
+    # 15 fixed fixture cases seeded from a pandas frame: Arrow
+    # createDataFrame slices it into a few real partitions (one row
+    # group each), so the python tasks run in PARALLEL with no
+    # repartition shuffle — measured 0.27s vs 0.46s for the old
+    # repartition(1) single-worker collapse and 3.5s for coalesce(1)
+    # (which chains 32 parallelize slices through one sequential
+    # Python-runner handshake)
     ladder = spark.createDataFrame(
-        [(c,) for c in _WCS_CASES], "case string"
-    ).repartition(1).mapInPandas(
+        pd.DataFrame({"case": list(_WCS_CASES)})
+    ).mapInPandas(
         wcs_kernel, "kind string, root_priority int, root string, path string"
     )
     return scan.unionByName(cap5).unionByName(cap2).unionByName(ladder)
