@@ -66,7 +66,8 @@ def tile_histogram(points: DataFrame, level: int = DEFAULT_LEVEL) -> DataFrame:
 def tile_pyramid(points: DataFrame, value_col: str, finest: int = 12,
                  coarsest: int = 6, lon_col: str = "longitude",
                  lat_col: str = "latitude",
-                 distinct_col: str | None = None) -> DataFrame:
+                 distinct_col: str | None = None,
+                 partials: DataFrame | None = None) -> DataFrame:
     """Multi-resolution mosaic pyramid (map-tile zoom levels): per-tile
     stats at every level in [coarsest, finest], long format
     (level, tile_x, tile_y, n_points, sum_v, min_v, max_v).
@@ -95,9 +96,20 @@ def tile_pyramid(points: DataFrame, value_col: str, finest: int = 12,
     on union branches under AQE, BENCH/r06_diag_phase.json). The
     value column must already be integral (callers pass floor-scaled
     cents) so sums stay exact int64 at any scale.
+
+    ``partials``: a pre-aggregated finest-level frame (tile_x, tile_y,
+    n_points, sum_v, min_v, max_v — several rows per tile allowed,
+    e.g. per-image partials) to merge up INSTEAD of aggregating
+    ``points``; lets a caller that already pays a finest-level
+    aggregation (tile_assign's per-(tile, image) rollup) share that
+    one point-table shuffle with the pyramid. count/sum/min/max merge
+    losslessly from partials; ``distinct_col`` is unsupported here
+    (per-partial sketches of a column the partials no longer carry).
     """
     if coarsest < 0 or finest < coarsest:
         raise ValueError(f"bad level range [{coarsest}, {finest}]")
+    if partials is not None and distinct_col is not None:
+        raise ValueError("distinct_col is not supported with partials")
     base_cols = ["n_points", "sum_v", "min_v", "max_v"]
     first_aggs = [
         F.count("*").alias("n_points"), F.sum("v").alias("sum_v"),
@@ -126,10 +138,15 @@ def tile_pyramid(points: DataFrame, value_col: str, finest: int = 12,
                 "approx_distinct", F.hll_sketch_estimate("hll"))
         return out.localCheckpoint(eager=False)
 
-    lvl = finish(
-        points.select(*sel).groupBy("tile_x", "tile_y").agg(*first_aggs),
-        finest,
-    )
+    if partials is not None:
+        lvl = finish(
+            partials.groupBy("tile_x", "tile_y").agg(*merge_aggs), finest,
+        )
+    else:
+        lvl = finish(
+            points.select(*sel).groupBy("tile_x", "tile_y").agg(*first_aggs),
+            finest,
+        )
     out = lvl
     for level in range(finest - 1, coarsest - 1, -1):
         lvl = finish(

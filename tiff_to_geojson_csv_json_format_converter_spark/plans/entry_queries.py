@@ -262,19 +262,33 @@ def q_tile_assign(spark, sf_dir):
     that honestly rather than smuggling in a per-level repass."""
     pts = _pts(spark, sf_dir).filter("valid")
     z = F.col("z").cast("long")
-    assign = (
+    # ONE point-table aggregation shared by both legs: per-(tile, image)
+    # partials feed the assign rollup (count of partial rows == distinct
+    # images; int64 sums/min/max merge losslessly) AND the pyramid's
+    # finest level — the point table shuffles once, not once per leg
+    base = (
         pts.select(
             cells.tile_x_col(F.col("lon"), 12).alias("tile_x"),
             cells.tile_y_col(F.col("lat"), 12).alias("tile_y"),
             z.alias("v"), "image_id",
         )
-        .groupBy("tile_x", "tile_y")
+        .groupBy("tile_x", "tile_y", "image_id")
         .agg(
             F.count("*").alias("n_points"),
-            F.countDistinct("image_id").alias("n_images"),
-            F.sum("v").alias("sum_elev"),
-            F.min("v").alias("min_elev"),
-            F.max("v").alias("max_elev"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    assign = (
+        base.groupBy("tile_x", "tile_y")
+        .agg(
+            F.sum("n_points").alias("n_points"),
+            F.count("*").alias("n_images"),
+            F.sum("sum_v").alias("sum_elev"),
+            F.min("min_v").alias("min_elev"),
+            F.max("max_v").alias("max_elev"),
         )
         .select(
             F.lit("assign").alias("kind"),
@@ -284,8 +298,9 @@ def q_tile_assign(spark, sf_dir):
         )
     )
     pyr = tiling.tile_pyramid(
-        pts.withColumn("zc", z), "zc", finest=12, coarsest=6,
-        lon_col="lon", lat_col="lat",
+        None, "zc", finest=12, coarsest=6,
+        partials=base.select("tile_x", "tile_y", "n_points",
+                             "sum_v", "min_v", "max_v"),
     ).select(
         F.lit("pyramid").alias("kind"),
         F.col("level").cast("long").alias("level"),
