@@ -87,6 +87,117 @@ class CacheScope:
         return False
 
 
+def _verify_jaccard_blocked(cand: DataFrame, sets_df: DataFrame,
+                            threshold_e6: int, n_docs: int,
+                            block_rows: int = 500_000) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs against per-doc
+    distinct-shingle sets, as a BLOCK-PAIR grouped Arrow kernel.
+
+    Why not the per-pair ``array_intersect`` join: Spark's ArrayIntersect
+    rebuilds a hash set of one operand per ROW, so verifying 540k
+    candidates against ~176-element sets costs ~95M boxed hash inserts —
+    measured ~5s of ngram_jaccard's 6s at sf0.1 while the joins
+    themselves cost ~1s. Here each doc's set crosses the shuffle B times
+    (its hash bucket meets every other bucket once), pairs cross once as
+    two ids, and one kernel per unordered bucket pair sorts each set
+    once then counts intersections with vectorized ``searchsorted``
+    (one call per doc_a over its concatenated partners).
+
+    Scale shape (same proof as cosine_pairs_blocked): per-task memory is
+    two buckets of sets (bounded by ``block_rows``), no broadcast, no
+    driver collect, everything equi-keyed on (bi, bj). B additionally
+    floors at ~sqrt(2 * parallelism) so small corpora still spread over
+    the cores. Output is bit-identical to the array_intersect form: the
+    same integer counts feed the same FLOOR(ni/nu*1e6) IEEE tree.
+
+    ``cand``: (doc_a, doc_b) — already deduplicated. ``sets_df``:
+    (doc_id, sh_set array<long>) with one row per doc, sets distinct.
+    """
+    from .similarity import _bucketed_kernel
+
+    spark = cand.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    b_floor = int(np.ceil(np.sqrt(2 * max(n_parts, 1))))
+    B = max(-(-max(n_docs, 1) // max(block_rows, 1)), b_floor, 1)
+    id_t = cand.schema["doc_a"].dataType.simpleString()
+    ba = F.pmod(F.xxhash64("doc_a"), F.lit(B)).cast("int")
+    bb = F.pmod(F.xxhash64("doc_b"), F.lit(B)).cast("int")
+    rep_pairs = cand.select(
+        F.least(ba, bb).alias("bi"), F.greatest(ba, bb).alias("bj"),
+        F.lit("p").alias("side"), "doc_a", "doc_b",
+        F.lit(None).cast("array<long>").alias("sh_set"),
+    )
+    rep_sets = (
+        sets_df.select(F.col(sets_df.columns[0]).alias("doc_a"), "sh_set")
+        .withColumn("b", F.pmod(F.xxhash64("doc_a"), F.lit(B)).cast("int"))
+        .withColumn("o", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .select(
+            F.least("b", "o").alias("bi"), F.greatest("b", "o").alias("bj"),
+            F.lit("s").alias("side"), "doc_a",
+            F.lit(None).cast(id_t).alias("doc_b"), "sh_set",
+        )
+    )
+    out_schema = (f"doc_a {id_t}, doc_b {id_t}, n_inter long, "
+                  "n_union long, jaccard_e6 long")
+    out_cols = ["doc_a", "doc_b", "n_inter", "n_union", "jaccard_e6"]
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        prows = pdf[pdf["side"] == "p"]
+        if not len(prows):
+            return pd.DataFrame({c: [] for c in out_cols})
+        srows = pdf[pdf["side"] == "s"]
+        sets: dict = {}
+        for d, arr in zip(srows["doc_a"].to_numpy(), srows["sh_set"].to_numpy()):
+            a = np.asarray(arr, dtype=np.int64).copy()
+            a.sort()
+            sets[d] = a
+        # group pairs by doc_a via one argsort + run bounds (pandas
+        # groupby iteration measured ~2x the per-group cost of this)
+        pa = prows["doc_a"].to_numpy()
+        pb = prows["doc_b"].to_numpy()
+        order = np.argsort(pa, kind="stable")
+        pa_s, pb_s = pa[order], pb[order]
+        bounds = np.flatnonzero(pa_s[1:] != pa_s[:-1]) + 1
+        starts = np.concatenate([[0], bounds])
+        stops = np.concatenate([bounds, [len(pa_s)]])
+        out = {c: [] for c in out_cols}
+        for s, e in zip(starts.tolist(), stops.tolist()):
+            da = pa_s[s]
+            a = sets[da]
+            dbs = pb_s[s:e]
+            parts = [sets[d] for d in dbs]
+            lens = np.fromiter((len(p) for p in parts), dtype=np.int64,
+                               count=len(parts))
+            vals = np.concatenate(parts)
+            pos = np.searchsorted(a, vals).clip(max=len(a) - 1)
+            hit = (a[pos] == vals).astype(np.int64)
+            ends = np.cumsum(lens)
+            ni = np.add.reduceat(hit, ends - lens)
+            nu = len(a) + lens - ni
+            # the SAME IEEE expression tree as the SQL oracle:
+            # FLOOR(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) * 1e6)
+            j = np.floor(ni.astype(np.float64) / nu.astype(np.float64) * 1e6
+                         ).astype(np.int64)
+            keep = j >= threshold_e6
+            out["doc_a"].extend([da] * int(keep.sum()))
+            out["doc_b"].extend(dbs[keep].tolist())
+            out["n_inter"].extend(ni[keep].tolist())
+            out["n_union"].extend(nu[keep].tolist())
+            out["jaccard_e6"].extend(j[keep].tolist())
+        return pd.DataFrame(out)
+
+    # partition count: ~2 tasks per core (python tasks pay a worker
+    # round-trip each, so 4x-groups inflation wastes wall-clock), capped
+    # at 4x the group count so tiny grids don't spray empty tasks.
+    # Measured at sf0.1 (36 groups, 32 cores): 64 partitions 3.2s vs
+    # 36 -> 7.3s (straggler tail) and 144 -> 4.3s (handshake overhead).
+    n_groups = B * (B + 1) // 2
+    n_partitions = max(min(2 * n_parts, 4 * n_groups), 1)
+    return rep_pairs.unionByName(rep_sets).repartition(
+        n_partitions, "bi", "bj"
+    ).mapInPandas(_bucketed_kernel(["bi", "bj"], cell), out_schema)
+
+
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold_e6: int = 500_000,
                   id_col: str = "doc_id", text_col: str = "text",
                   block_col: str | None = None,
@@ -192,19 +303,13 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold_e6: int = 500_000,
         .select("doc_a", "doc_b")
         .dropDuplicates()
     )
-    sa = per_doc.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a"))
-    sb = per_doc.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b"))
-    return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
-        .withColumn("n_union", (F.size("set_a") + F.size("set_b")).cast("long") - F.col("n_inter"))
-        .withColumn(
-            "jaccard_e6",
-            F.floor(F.col("n_inter").cast("double") / F.col("n_union").cast("double") * 1e6).cast("long"),
-        )
-        .filter(F.col("jaccard_e6") >= threshold_e6)
-        .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard_e6")
-    )
+    # one cheap metadata-ish count over the INPUT sizes the verify grid
+    # (ceil(n/block_rows), floored at ~sqrt(2*parallelism)); the blocked
+    # kernel verify replaces the per-pair array_intersect join — see
+    # _verify_jaccard_blocked for the measured why
+    n_docs = df.count()
+    sets_df = per_doc.select(id_col, "sh_set")
+    return _verify_jaccard_blocked(cand, sets_df, threshold_e6, n_docs)
 
 
 # --- MinHash + LSH -----------------------------------------------------------
@@ -290,20 +395,10 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 5, num_hashes: int = 64, bands: in
             f" i -> substr({text_col}, i, {n}))), s -> xxhash64(s))"
         ).alias("sh_set"),
     )
-    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a"))
-    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b"))
-    verified = (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
-        .withColumn("n_union", (F.size("set_a") + F.size("set_b")).cast("long") - F.col("n_inter"))
-        .withColumn(
-            "jaccard_e6",
-            F.floor(F.col("n_inter").cast("double") / F.col("n_union").cast("double") * 1e6).cast("long"),
-        )
-        .filter(F.col("jaccard_e6") >= threshold_e6)
-        .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard_e6")
-    )
-    return verified
+    # blocked-kernel verify (see _verify_jaccard_blocked): the shingle
+    # transform also now evaluates ONCE into the replicated set frame
+    # instead of once per join side
+    return _verify_jaccard_blocked(cand, sets, threshold_e6, df.count())
 
 
 # --- SimHash -----------------------------------------------------------------
