@@ -238,10 +238,12 @@ def test_cosine_pairs_auto_routes_high_threshold_through_lsh(spark):
     assert want and got == want
 
 
-def test_clip_points_multi_single_pass_equals_per_polygon_union(spark):
-    """clip_points_multi: ONE Arrow pass over ONE scan must equal the
-    union of independent clip_points runs, and the plan must contain
-    exactly one python eval node (that's the point of the operator)."""
+def test_clip_points_multi_single_pass_equals_per_polygon_union(spark, monkeypatch):
+    """clip_points_multi: small fixed layers clip via the LITERAL codegen
+    ray-cast — zero python eval nodes in the plan (r7 optimization);
+    the Arrow-kernel fallback (forced by shrinking the edge budget)
+    must produce the identical rows, and both must equal the union of
+    independent clip_points runs."""
     import numpy as np
 
     rng = np.random.RandomState(11)
@@ -256,9 +258,7 @@ def test_clip_points_multi_single_pass_equals_per_polygon_union(spark):
 
     multi = joins.clip_points_multi(pts, polys)
     p = plan_str(multi)
-    # formatted explain prints each node twice (tree + detail section):
-    # exactly ONE python eval node => exactly two mentions
-    assert p.count("ArrowEvalPython") == 2
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     got = sorted(
         (r["poly"], r["point_id"]) for r in multi.select("poly", "point_id").collect()
     )
@@ -268,6 +268,14 @@ def test_clip_points_multi_single_pass_equals_per_polygon_union(spark):
         for r in joins.clip_points(pts, rings).select("point_id").collect()
     )
     assert want and got == want
+    # force the Arrow-kernel fallback: identical rows, python node present
+    monkeypatch.setattr(joins, "_PIP_LITERAL_MAX_EDGES", 0)
+    fb = joins.clip_points_multi(pts, polys)
+    assert "ArrowEvalPython" in plan_str(fb)
+    got_fb = sorted(
+        (r["poly"], r["point_id"]) for r in fb.select("poly", "point_id").collect()
+    )
+    assert got_fb == want
 
 
 def test_catalog_null_partition_keys_rejected(spark, tmp_path):
@@ -298,19 +306,26 @@ def test_multi_root_scan_is_broadcast_no_cartesian(spark):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
 
 
-def test_union_clip_bbox_pushed_below_python(spark):
-    """D7 union clip: the overall-bbox prefilter is a Catalyst Filter
-    evaluated BEFORE the Arrow PIP eval (python eval sees boxed rows only)."""
+def test_union_clip_bbox_pushed_below_python(spark, monkeypatch):
+    """D7 union clip: small fixed layers run the literal codegen OR-of-
+    even-odd predicate — no python eval node at all (r7 optimization);
+    the Arrow-kernel fallback keeps the bbox prefilter as a Catalyst
+    Filter BELOW the python eval and returns identical rows."""
     pts = spark.createDataFrame(
         [(1, 77.25, 28.25, 5.0)], "point_id long, longitude double, latitude double, elevation double"
     )
     sq = [[77.0, 28.0], [77.5, 28.5], [77.5, 28.5], [77.0, 28.5], [77.0, 28.0]]
     df = joins.clip_points_union(pts, [[sq], [sq]])
     p = plan_str(df)
-    assert "ArrowEvalPython" in p
-    # bbox Filter must appear below (after, in formatted order) the python eval
-    python_pos = p.index("ArrowEvalPython")
-    assert ">= 77.0" in p[python_pos:] or "77.0" in p[python_pos:]
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    rows = sorted(r["point_id"] for r in df.collect())
+    monkeypatch.setattr(joins, "_PIP_LITERAL_MAX_EDGES", 0)
+    fb = joins.clip_points_union(pts, [[sq], [sq]])
+    pfb = plan_str(fb)
+    assert "ArrowEvalPython" in pfb
+    python_pos = pfb.index("ArrowEvalPython")
+    assert ">= 77.0" in pfb[python_pos:] or "77.0" in pfb[python_pos:]
+    assert sorted(r["point_id"] for r in fb.collect()) == rows
 
 
 def test_jaccard_join_is_prefix_equi_join(spark):

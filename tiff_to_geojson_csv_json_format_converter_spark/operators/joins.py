@@ -53,16 +53,105 @@ def pip_contains_udf(rings: list):
     return contains
 
 
+# rings with at most this many non-horizontal edges total clip via the
+# literal codegen predicate (no Python crossing); bigger geometries fall
+# back to the Arrow kernel (codegen size and JVM constant-pool bounds)
+_PIP_LITERAL_MAX_EDGES = 64
+
+
+def _count_pip_edges(rings: list) -> int:
+    total = 0
+    for ring in rings:
+        r = geometry.close_ring(ring)
+        for (xi, yi), (xj, yj) in zip(r[:-1], r[1:]):
+            if yi != yj:
+                total += 1
+    return total
+
+
+def _pip_literal_pred(rings: list, lon_col: str, lat_col: str,
+                      seed_col: str | None = None):
+    """Even-odd ray-cast against a FIXED small ring list as a LITERAL
+    whole-stage-codegen predicate — no Python workers, no Arrow hop,
+    no per-row ring-array walking (unlike :func:`_pip_parity_pred`,
+    whose boxed lambda evaluation over a rings column was measured
+    GC-bound; here every coordinate is a compiled double literal).
+
+    Bit-compatible with :func:`..functions.geometry.points_in_polygon`:
+    per edge the crossing abscissa evaluates the identical float64
+    expression ``(xj-xi)*(y-yi)/(yj-yi)+xi`` (the edge deltas are
+    python-float differences — the same IEEE subtraction numpy does),
+    horizontal edges are skipped, and summing crossings over all rings
+    then testing oddness equals the kernel's XOR chain. This is also
+    literally the engine twin of the oracle's ``_raycast_sql``.
+
+    Callers evaluate it above a :func:`_pip_barrier` projection and
+    pass that projection's column as ``seed_col``: the crossing sum is
+    seeded with ``seed_col * 0`` (provably zero, never folded or
+    split), so the predicate REQUIRES the barrier column — column
+    pruning cannot drop it, the nondeterministic Project survives, and
+    the filter stays above it reading materialized lon/lat columns
+    instead of substituted derived trees."""
+    x, y = F.col(lon_col), F.col(lat_col)
+    # pmod(barrier, 1) == 0 always but is not algebraically simplified
+    # (Spark 4 folds `x * 0`, which silently removed the barrier
+    # reference and resurrected the pushdown — r7 plans)
+    total = F.pmod(F.col(seed_col), F.lit(1)) if seed_col else F.lit(0).cast("long")
+    for ring in rings:
+        r = geometry.close_ring(ring)
+        for (xi, yi), (xj, yj) in zip(r[:-1], r[1:]):
+            xi, yi, xj, yj = float(xi), float(yi), float(xj), float(yj)
+            if yi == yj:
+                continue
+            cond = (
+                ((F.lit(yi) > y) != (F.lit(yj) > y))
+                & (x < F.lit(xj - xi) * (y - F.lit(yi)) / F.lit(yj - yi) + F.lit(xi))
+            )
+            total = total + F.when(cond, F.lit(1)).otherwise(F.lit(0))
+    return (total % 2) == 1
+
+
+_PIP_BARRIER_COL = "__pip_barrier"
+
+
+def _pip_barrier(df: DataFrame) -> DataFrame:
+    """Append a nondeterministic throwaway column, making this Project a
+    PREDICATE-PUSHDOWN BARRIER: filters above it cannot be pushed below
+    (the optimizer refuses to push through a projection with
+    nondeterministic fields). Needed because the literal ray-cast
+    references lon/lat once per edge — pushed through a derived-column
+    projection (the _pts expressions), the optimizer substitutes the
+    whole lon/lat trees into EVERY edge term and codegen'd Filter
+    conditions get no common-subexpression elimination: measured 3.1s
+    vs 0.19s at sf0.1. Guarding the PREDICATE does not work — Spark 4
+    happily pushes nondeterministic predicates through a deterministic
+    Project (verified in r7 plans); the nondeterminism must sit in the
+    projection itself. Callers drop the column right after the clip."""
+    if _PIP_BARRIER_COL in df.columns:
+        return df
+    return df.withColumn(_PIP_BARRIER_COL, F.monotonically_increasing_id())
+
+
 def clip_points(points: DataFrame, rings: list, lon_col: str = "longitude", lat_col: str = "latitude") -> DataFrame:
     """Exact polygon clip of a point table: bbox predicate (Catalyst,
-    pushed to the scan) then exact PIP refinement (Arrow UDF) — the
-    engine form of ``rasterio.mask.mask(..., crop=True)`` center
-    containment (test2.py:1272)."""
+    pushed to the scan) then exact PIP refinement — the engine form of
+    ``rasterio.mask.mask(..., crop=True)`` center containment
+    (test2.py:1272). Small fixed rings refine via the literal codegen
+    ray-cast (zero Python crossings); large ones via the Arrow kernel.
+    Both evaluate the identical IEEE expression tree (bit-equal,
+    test-asserted)."""
     min_lon, min_lat, max_lon, max_lat = _rings_bbox(rings)
     boxed = points.filter(
         (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon)
         & (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat)
     )
+    if _count_pip_edges(rings) <= _PIP_LITERAL_MAX_EDGES:
+        return (
+            _pip_barrier(boxed)
+            .filter(_pip_literal_pred(rings, lon_col, lat_col,
+                                      seed_col=_PIP_BARRIER_COL))
+            .drop(_PIP_BARRIER_COL)
+        )
     return boxed.filter(pip_contains_udf(rings)(F.col(lon_col), F.col(lat_col)))
 
 
@@ -81,6 +170,13 @@ def clip_points_union(points: DataFrame, polygons: list,
         (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon)
         & (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat)
     )
+    if sum(_count_pip_edges(p) for p in polygons) <= _PIP_LITERAL_MAX_EDGES:
+        pred = _pip_literal_pred(polygons[0], lon_col, lat_col,
+                                 seed_col=_PIP_BARRIER_COL)
+        for p in polygons[1:]:  # union == OR of per-polygon even-odd
+            pred = pred | _pip_literal_pred(p, lon_col, lat_col,
+                                            seed_col=_PIP_BARRIER_COL)
+        return _pip_barrier(boxed).filter(pred).drop(_PIP_BARRIER_COL)
     polys_arr = [[np.asarray(r, dtype=np.float64) for r in p] for p in polygons]
 
     @F.pandas_udf(BooleanType())
@@ -121,6 +217,35 @@ def clip_points_multi(points: DataFrame, polygons: dict[str, list],
     mxx = max(b[2] for _, _, b in items)
     mxy = max(b[3] for _, _, b in items)
 
+    boxed = points.filter(
+        (F.col(lon_col) >= mnx) & (F.col(lon_col) <= mxx)
+        & (F.col(lat_col) >= mny) & (F.col(lat_col) <= mxy)
+    )
+    if sum(_count_pip_edges(r) for _, r, _ in items) <= _PIP_LITERAL_MAX_EDGES:
+        # literal codegen membership per polygon, one row per (point,
+        # tag) via a broadcast cross join with the tiny tag table and a
+        # single CASE-dispatched parity filter. Deliberately NO
+        # explode(array(when(...)))) — expressions inside a Generate
+        # re-evaluate per output row, interpreted (the measured r6
+        # trap), and array_compact rewrites to a CodegenFallback
+        # ArrayFilter that drops the whole projection to interpreted
+        # eval; this form is end-to-end whole-stage codegen. The filter
+        # references both join sides, so it cannot be pushed below the
+        # join into the (possibly derived) point projection.
+        tags_df = F.broadcast(points.sparkSession.createDataFrame(
+            [(tag,) for tag, _, _ in items], f"{tag_col} string"))
+        pred = F.lit(False)
+        for tag, rings, (bx0, by0, bx1, by1) in items:
+            own_box = (
+                (F.col(lon_col) >= bx0) & (F.col(lon_col) <= bx1)
+                & (F.col(lat_col) >= by0) & (F.col(lat_col) <= by1)
+            )
+            pred = F.when(
+                F.col(tag_col) == tag,
+                own_box & _pip_literal_pred(rings, lon_col, lat_col),
+            ).otherwise(pred)
+        return boxed.crossJoin(tags_df).filter(pred)
+
     @F.pandas_udf(ArrayType(StringType()))
     def tags(lon: pd.Series, lat: pd.Series) -> pd.Series:
         x, y = lon.to_numpy(), lat.to_numpy()
@@ -135,10 +260,6 @@ def clip_points_multi(points: DataFrame, polygons: dict[str, list],
                 out[i].append(tag)
         return pd.Series(out)
 
-    boxed = points.filter(
-        (F.col(lon_col) >= mnx) & (F.col(lon_col) <= mxx)
-        & (F.col(lat_col) >= mny) & (F.col(lat_col) <= mxy)
-    )
     return boxed.withColumn(tag_col, F.explode(tags(F.col(lon_col), F.col(lat_col))))
 
 
