@@ -120,21 +120,39 @@ def _verify_jaccard_blocked(cand: DataFrame, sets_df: DataFrame,
     b_floor = int(np.ceil(np.sqrt(2 * max(n_parts, 1))))
     B = max(-(-max(n_docs, 1) // max(block_rows, 1)), b_floor, 1)
     id_t = cand.schema["doc_a"].dataType.simpleString()
+
+    # the sets ride the B-way replication shuffle AND the Arrow boundary
+    # as ONE binary memcpy per row: as array<long> cells the same bytes
+    # pay per-element UnsafeArrayData<->Arrow conversion on both sides —
+    # measured 14.8s of pure delivery (no-op kernel) at 4x vs <2s packed
+    # (the engine's standing binary-wire rule, PLANS.md 'Blocked
+    # cosine'). Shingle hashes are full-range int64, so the blob is
+    # fixed-width '<i8' with no width tag.
+    sets_id_col = sets_df.columns[0]
+
+    def pack_sets(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_a": pdf[sets_id_col],
+                "blob": [np.asarray(a, dtype=np.int64).tobytes()
+                         for a in pdf["sh_set"].to_numpy()],
+            })
+
+    packed = sets_df.mapInPandas(pack_sets, f"doc_a {id_t}, blob binary")
     ba = F.pmod(F.xxhash64("doc_a"), F.lit(B)).cast("int")
     bb = F.pmod(F.xxhash64("doc_b"), F.lit(B)).cast("int")
     rep_pairs = cand.select(
         F.least(ba, bb).alias("bi"), F.greatest(ba, bb).alias("bj"),
-        F.lit("p").alias("side"), "doc_a", "doc_b",
-        F.lit(None).cast("array<long>").alias("sh_set"),
+        "doc_a", "doc_b",
+        F.lit(None).cast("binary").alias("blob"),
     )
     rep_sets = (
-        sets_df.select(F.col(sets_df.columns[0]).alias("doc_a"), "sh_set")
+        packed
         .withColumn("b", F.pmod(F.xxhash64("doc_a"), F.lit(B)).cast("int"))
         .withColumn("o", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
         .select(
             F.least("b", "o").alias("bi"), F.greatest("b", "o").alias("bj"),
-            F.lit("s").alias("side"), "doc_a",
-            F.lit(None).cast(id_t).alias("doc_b"), "sh_set",
+            "doc_a", F.lit(None).cast(id_t).alias("doc_b"), "blob",
         )
     )
     out_schema = (f"doc_a {id_t}, doc_b {id_t}, n_inter long, "
@@ -142,49 +160,70 @@ def _verify_jaccard_blocked(cand: DataFrame, sets_df: DataFrame,
     out_cols = ["doc_a", "doc_b", "n_inter", "n_union", "jaccard_e6"]
 
     def cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        prows = pdf[pdf["side"] == "p"]
+        # Fully batched intersection counting. An earlier version looped
+        # per doc_a with per-iteration fromiter/concatenate/searchsorted;
+        # its ~30-50us fixed cost per doc_a scaled with docs x groups and
+        # dominated at 4x input (measured 19s vs ~8s for the JVM
+        # array_intersect). This version does ONE vocab remap + ONE
+        # element gather per kernel group, then a tight per-doc_a loop of
+        # bitmap set / gather / reduceat — the per-element work is a
+        # direct O(1) bitmap probe (no log factor) and the loop body is
+        # ~6 numpy calls on views.
+        is_set = pdf["blob"].notna().to_numpy()
+        prows = pdf[~is_set]
         if not len(prows):
             return pd.DataFrame({c: [] for c in out_cols})
-        srows = pdf[pdf["side"] == "s"]
-        sets: dict = {}
-        for d, arr in zip(srows["doc_a"].to_numpy(), srows["sh_set"].to_numpy()):
-            a = np.asarray(arr, dtype=np.int64).copy()
-            a.sort()
-            sets[d] = a
-        # group pairs by doc_a via one argsort + run bounds (pandas
-        # groupby iteration measured ~2x the per-group cost of this)
+        srows = pdf[is_set]
+        docs = srows["doc_a"].to_numpy()
+        set_arrs = [np.frombuffer(b, dtype="<i8") for b in srows["blob"].to_numpy()]
+        lens = np.fromiter((len(a) for a in set_arrs), dtype=np.int64,
+                           count=len(set_arrs))
+        flat = np.concatenate(set_arrs) if set_arrs else np.empty(0, np.int64)
+        vocab = np.unique(flat)
+        codes = np.searchsorted(vocab, flat).astype(np.int32)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        doc2i = {d: i for i, d in enumerate(docs)}
         pa = prows["doc_a"].to_numpy()
         pb = prows["doc_b"].to_numpy()
         order = np.argsort(pa, kind="stable")
         pa_s, pb_s = pa[order], pb[order]
+        pai = np.fromiter((doc2i[d] for d in pa_s), dtype=np.int64, count=len(pa_s))
+        pbi = np.fromiter((doc2i[d] for d in pb_s), dtype=np.int64, count=len(pb_s))
+        # gather every pair's partner-set codes in one pass (grouped
+        # arange over the per-pair slice ranges)
+        pl = lens[pbi]
+        p_ends = np.cumsum(pl)
+        p_starts = p_ends - pl
+        within = np.arange(p_ends[-1], dtype=np.int64) - np.repeat(p_starts, pl)
+        elem_codes = codes[np.repeat(offs[pbi], pl) + within]
+        # doc_a run bounds over the sorted pairs
         bounds = np.flatnonzero(pa_s[1:] != pa_s[:-1]) + 1
-        starts = np.concatenate([[0], bounds])
-        stops = np.concatenate([bounds, [len(pa_s)]])
-        out = {c: [] for c in out_cols}
-        for s, e in zip(starts.tolist(), stops.tolist()):
-            da = pa_s[s]
-            a = sets[da]
-            dbs = pb_s[s:e]
-            parts = [sets[d] for d in dbs]
-            lens = np.fromiter((len(p) for p in parts), dtype=np.int64,
-                               count=len(parts))
-            vals = np.concatenate(parts)
-            pos = np.searchsorted(a, vals).clip(max=len(a) - 1)
-            hit = (a[pos] == vals).astype(np.int64)
-            ends = np.cumsum(lens)
-            ni = np.add.reduceat(hit, ends - lens)
-            nu = len(a) + lens - ni
-            # the SAME IEEE expression tree as the SQL oracle:
-            # FLOOR(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) * 1e6)
-            j = np.floor(ni.astype(np.float64) / nu.astype(np.float64) * 1e6
-                         ).astype(np.int64)
-            keep = j >= threshold_e6
-            out["doc_a"].extend([da] * int(keep.sum()))
-            out["doc_b"].extend(dbs[keep].tolist())
-            out["n_inter"].extend(ni[keep].tolist())
-            out["n_union"].extend(nu[keep].tolist())
-            out["jaccard_e6"].extend(j[keep].tolist())
-        return pd.DataFrame(out)
+        r_starts = np.concatenate([[0], bounds])
+        r_stops = np.concatenate([bounds, [len(pa_s)]])
+        mask = np.zeros(len(vocab), dtype=bool)
+        ni_all = np.empty(len(pa_s), dtype=np.int64)
+        for s, e in zip(r_starts.tolist(), r_stops.tolist()):
+            ai = pai[s]
+            acodes = codes[offs[ai]:offs[ai + 1]]
+            mask[acodes] = True
+            hit = mask[elem_codes[p_starts[s]:p_ends[e - 1]]]
+            ni_all[s:e] = np.add.reduceat(
+                hit.astype(np.int64), p_starts[s:e] - p_starts[s])
+            mask[acodes] = False
+        nu_all = lens[pai] + pl - ni_all
+        # the SAME IEEE expression tree as the SQL oracle:
+        # FLOOR(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) * 1e6)
+        j_all = np.floor(
+            ni_all.astype(np.float64) / nu_all.astype(np.float64) * 1e6
+        ).astype(np.int64)
+        keep = j_all >= threshold_e6
+        return pd.DataFrame({
+            "doc_a": pa_s[keep],
+            "doc_b": pb_s[keep],
+            "n_inter": ni_all[keep],
+            "n_union": nu_all[keep],
+            "jaccard_e6": j_all[keep],
+        })
 
     # partition count: ~2 tasks per core (python tasks pay a worker
     # round-trip each, so 4x-groups inflation wastes wall-clock), capped
