@@ -454,6 +454,13 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame,
                for rr in _json.loads(r[1])]
         for r in taken
     }
+    # NOTE (r7): a per-polygon_id LITERAL codegen parity dispatch was
+    # built and A/B'd here as an inversion fix (the Arrow scorer's
+    # 8->32 flatness is concurrent-python-worker pressure,
+    # BENCH/r07_diag_cell_cover.json) — but it measured SLOWER than
+    # this kernel at 32 cores (2.76s vs 1.69s quiet: the predicate
+    # restructures the join and lands in a substituted join condition),
+    # so the slim broadcast-variable kernel stays the default.
     bc = points.sparkSession.sparkContext.broadcast(rings_map)
 
     @F.pandas_udf(BooleanType())
