@@ -454,7 +454,7 @@ def cell_cover_join(points: DataFrame, polygons: DataFrame,
                for rr in _json.loads(r[1])]
         for r in taken
     }
-    # NOTE (r7): a per-polygon_id LITERAL codegen parity dispatch was
+    # NOTE (r07): a per-polygon_id LITERAL codegen parity dispatch was
     # built and A/B'd here as an inversion fix (the Arrow scorer's
     # 8->32 flatness is concurrent-python-worker pressure,
     # BENCH/r07_diag_cell_cover.json) — but it measured SLOWER than
