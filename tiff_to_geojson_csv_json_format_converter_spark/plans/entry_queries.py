@@ -2470,22 +2470,29 @@ def q_multi_root_scan(spark, sf_dir):
             .otherwise(F.lit(".txt")),
         ).alias("path"),
     )
+    # the three glob legs share ONE match join + dedup (r7): the full
+    # pattern-ladder hit set is checkpointed and each cap policy reuses
+    # it — cap2's narrower '*.tif' hit set is the same frame filtered by
+    # that pattern's LIKE (dedup commutes with the row filter)
+    mr_roots = ["src3", "src1", "no_such_root", "src5"]
+    mr_patterns = ["*.tif", "*.tiff", "*slope*.tif*"]
+    hits3 = multiroot.multi_root_hits(
+        cat, mr_roots, mr_patterns
+    ).localCheckpoint(eager=False)
+    hits_tif = hits3.filter(
+        F.col("path").like(multiroot.glob_to_like("*.tif")))
     scan = multiroot.multi_root_scan(
-        cat,
-        roots=["src3", "src1", "no_such_root", "src5"],
-        patterns=["*.tif", "*.tiff", "*slope*.tif*"],
-        per_root_cap=8,
-        cap=20,
+        cat, roots=mr_roots, patterns=mr_patterns,
+        per_root_cap=8, cap=20, hits=hits3,
     ).select(F.lit("scan").alias("kind"), "root_priority", "root", "path")
 
     # C3 file-count limit as its own rows: global cap only (default 5 =
     # the reference's [:5]) and the analyze-preview [:2] over one pattern
-    mr_roots = ["src3", "src1", "no_such_root", "src5"]
     cap5 = multiroot.multi_root_scan(
-        cat, roots=mr_roots, patterns=["*.tif", "*.tiff", "*slope*.tif*"],
+        cat, roots=mr_roots, patterns=mr_patterns, hits=hits3,
     ).select(F.lit("cap5").alias("kind"), "root_priority", "root", "path")
     cap2 = multiroot.multi_root_scan(
-        cat, roots=mr_roots, patterns=["*.tif"], cap=2,
+        cat, roots=mr_roots, patterns=["*.tif"], cap=2, hits=hits_tif,
     ).select(F.lit("cap2").alias("kind"), "root_priority", "root", "path")
 
     def wcs_kernel(batches):

@@ -53,6 +53,37 @@ def glob_to_like(pattern: str) -> str:
     return "".join(out)
 
 
+def multi_root_hits(
+    catalog: DataFrame,
+    roots: list[str],
+    patterns: list[str],
+    *,
+    root_col: str = "root",
+    path_col: str = "path",
+) -> DataFrame:
+    """The match stage of :func:`multi_root_scan` alone: the deduplicated
+    (root_priority, root, path) hit set for ANY pattern in the ladder —
+    factored out so several cap policies over the SAME roots can share
+    one join+dedup (checkpoint the result and pass it back via
+    ``hits=``; a narrower pattern's hit set is this frame filtered by
+    that pattern's LIKE, since dedup commutes with the row filter)."""
+    spark = catalog.sparkSession
+    roots_df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(roots)], "root_priority int, root string"
+    )
+    likes = [F.col(path_col).like(glob_to_like(p)) for p in patterns]
+    match = likes[0]
+    for l in likes[1:]:
+        match = match | l
+    return (
+        catalog.join(F.broadcast(roots_df), catalog[root_col] == roots_df["root"])
+        .filter(match)
+        .select("root_priority", roots_df["root"].alias("root"), F.col(path_col).alias("path"))
+        # a file matching several patterns appears once (test2.py:78 set())
+        .dropDuplicates(["root", "path"])
+    )
+
+
 def multi_root_scan(
     catalog: DataFrame,
     roots: list[str],
@@ -62,6 +93,7 @@ def multi_root_scan(
     cap: int | None = 5,
     root_col: str = "root",
     path_col: str = "path",
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """Search ``roots`` (in priority order) for paths matching ANY glob in
     ``patterns``; dedupe; apply per-root and global caps deterministically.
@@ -69,6 +101,10 @@ def multi_root_scan(
     Returns (root_priority, root, path) sorted by (root_priority, path),
     capped. Nonexistent roots contribute nothing (they simply have no
     catalog rows — the reference's ``os.path.exists`` skip).
+
+    ``hits``: a precomputed :func:`multi_root_hits` frame (same roots,
+    superset-or-equal patterns already applied) to reuse across several
+    cap policies without re-running the match join.
     """
     if not roots or not patterns:
         # no roots to search, or an empty pattern ladder = zero matches
@@ -76,21 +112,9 @@ def multi_root_scan(
         return catalog.sparkSession.createDataFrame(
             [], "root_priority int, root string, path string"
         )
-    spark = catalog.sparkSession
-    roots_df = spark.createDataFrame(
-        [(i, r) for i, r in enumerate(roots)], "root_priority int, root string"
-    )
-    likes = [F.col(path_col).like(glob_to_like(p)) for p in patterns]
-    match = likes[0]
-    for l in likes[1:]:
-        match = match | l
-    hits = (
-        catalog.join(F.broadcast(roots_df), catalog[root_col] == roots_df["root"])
-        .filter(match)
-        .select("root_priority", roots_df["root"].alias("root"), F.col(path_col).alias("path"))
-        # a file matching several patterns appears once (test2.py:78 set())
-        .dropDuplicates(["root", "path"])
-    )
+    if hits is None:
+        hits = multi_root_hits(catalog, roots, patterns,
+                               root_col=root_col, path_col=path_col)
     if per_root_cap is not None:
         w = Window.partitionBy("root").orderBy("path")
         hits = (
