@@ -170,13 +170,13 @@ def brute_topk_blocked(df: DataFrame, k: int = 5, id_col: str = "vec_id",
             out["cos_e6"].extend(int(cos_e6[r, j]) for j in sel)
         return pd.DataFrame(out)
 
-    # ~2 tasks per core, capped at 4x the cell count: python tasks pay a
+    # ~2 tasks per core, capped at 2x the cell count: python tasks pay a
     # worker round-trip each (measured ~0.3-0.4s on this host), so both
     # unbounded 4x inflation and per-cell partitions waste wall-clock;
     # the kernel already tolerates co-located cells
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     local = rep.repartition(
-        max(min(2 * n_parts, 4 * QB * B), 1), "qb", "cb"
+        max(min(2 * n_parts, 2 * QB * B), 1), "qb", "cb"
     ).mapInPandas(
         _bucketed_kernel(["qb", "cb"], cell),
         "query_id long, neighbor_id long, dot_q long, cos_e6 long",
@@ -620,12 +620,12 @@ def cosine_pairs_blocked(df: DataFrame, threshold_e6: int = 950_000,
 
     # group delivery via _bucketed_kernel (see its docstring for the
     # grouped-map-vs-mapInPandas memory discipline); ~2 tasks per core,
-    # capped at 4x the group count — python tasks cost a worker
+    # capped at 2x the group count — python tasks cost a worker
     # round-trip each, and the kernel tolerates co-located groups
     n_groups = B * (B + 1) // 2
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     return rep.repartition(
-        max(min(2 * n_parts, 4 * n_groups), 1), "bi", "bj"
+        max(min(2 * n_parts, 2 * n_groups), 1), "bi", "bj"
     ).mapInPandas(
         _bucketed_kernel(["bi", "bj"], block_pair),
         "id_a long, id_b long, dot_q long, cos_e6 long",
